@@ -8,12 +8,18 @@ anywhere, hence the top-level assignment here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: bench uses the real TPU, tests never do
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon site hook re-pins JAX_PLATFORMS at interpreter start, so the env
+# var alone is not enough here — the config flag is authoritative.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
