@@ -1,0 +1,279 @@
+"""Cross-validation engines for the CNN-LSTM (standard + nested with TPE).
+
+Capability parity with reference src/dl_cv_strategies.py:
+
+* :func:`run_dl_standard_kfold_cv` — fixed hyperparameters, stratified
+  5-fold, inner 80/20 early-stop split (reference :357-441).
+* :func:`run_dl_nested_cv` — per-outer-fold TPE search (25-trial default)
+  over {lr, dropout, cnn_out_channels, lstm_hidden_dim, activation}, inner
+  3-fold scoring at 15 fixed epochs/batch-size 4, then a final 80/20-split
+  training with plateau LR decay and early stopping (reference :197-354).
+
+Both return (results_df, fold_predictions, ...) with the reference's result
+schema — per-fold accuracy/f1/precision/recall/auc rows plus raw predictions
+for ROC analysis, first-conv stability vectors, and loss histories.
+
+TPU notes: ``Trainer`` objects are cached per model architecture, so XLA
+compiles each (arch × bucket shape) once and reuses it across folds and
+trials — the dominant cost in nested CV (25 trials × 3 inner folds × 5 outer
+folds) amortizes to a handful of compilations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..models import CNNLSTM
+from ..train import TrainConfig, Trainer, train_model, evaluate_model
+from ..tune import Study, TPESampler
+from .metrics import classification_metrics
+from .splits import StratifiedKFold, train_test_indices
+
+# Default search space — mirrors reference src/dl_cv_strategies.py:216-222.
+DEFAULT_SEARCH_SPACE = {
+    "learning_rate": ("float_log", 1e-5, 1e-3),
+    "dropout_rate": ("float", 0.2, 0.5),
+    "cnn_out_channels": ("categorical", [32, 64, 128]),
+    "lstm_hidden_dim": ("categorical", [64, 128]),
+    "activation_fn": ("categorical", ["silu", "gelu"]),
+}
+
+
+def align_sequences_and_labels(
+    sequences_dict: Mapping[str, np.ndarray], metadata_df: pd.DataFrame
+) -> Tuple[List[np.ndarray], np.ndarray, List[str]]:
+    """Join sequences to binary labels on unique_participant_id.
+
+    Label 1 = 'Patient' else 0; participants are the sorted intersection of
+    sequence keys and metadata ids (reference src/dl_cv_strategies.py:298-301).
+    """
+    label_map = (
+        metadata_df.drop_duplicates("unique_participant_id")
+        .set_index("unique_participant_id")["label"]
+        .apply(lambda v: 1 if v == "Patient" else 0)
+    )
+    common = sorted(set(sequences_dict.keys()) & set(label_map.index))
+    X = [np.asarray(sequences_dict[pid], dtype=np.float32) for pid in common]
+    y = label_map.loc[common].to_numpy()
+    return X, y, common
+
+
+class _TrainerCache:
+    """One Trainer per distinct architecture → compiled steps are shared."""
+
+    def __init__(self, input_dim: int, num_classes: int = 2):
+        self.input_dim = input_dim
+        self.num_classes = num_classes
+        self._cache: Dict[tuple, Trainer] = {}
+
+    def get(self, hp: Mapping[str, Any]) -> Trainer:
+        key = (
+            int(hp.get("cnn_out_channels", 128)),
+            int(hp.get("lstm_hidden_dim", 128)),
+            float(hp.get("dropout_rate", 0.5)),
+            str(hp.get("activation_fn", "silu")),
+        )
+        if key not in self._cache:
+            model = CNNLSTM(
+                input_dim=self.input_dim,
+                num_classes=self.num_classes,
+                cnn_out_channels=key[0],
+                lstm_hidden_dim=key[1],
+                dropout_rate=key[2],
+                activation_fn=key[3],
+            )
+            self._cache[key] = Trainer(model)
+        return self._cache[key]
+
+
+def _subset(seq: Sequence, idx: np.ndarray) -> list:
+    return [seq[i] for i in idx]
+
+
+def _stability_vector(state) -> np.ndarray:
+    from ..models.cnn_lstm import stability_probe
+
+    return np.asarray(stability_probe({"params": state.params}))
+
+
+def run_dl_standard_kfold_cv(
+    sequences_dict: Mapping[str, np.ndarray],
+    metadata_df: pd.DataFrame,
+    hyperparams: Mapping[str, Any],
+    n_splits: int = 5,
+    epochs: int = 100,
+    patience: int = 25,
+    batch_size: int = 8,
+    seed: int = 42,
+    verbose: bool = False,
+) -> Tuple[pd.DataFrame, List[dict], List[dict], np.ndarray]:
+    """Standard stratified K-fold with fixed hyperparameters.
+
+    Returns (results_df, fold_predictions, histories, stability_weights) —
+    the contract of reference run_pytorch_standard_kfold_cv (:357-441).
+    """
+    X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
+    cache = _TrainerCache(input_dim=X[0].shape[1])
+    cv = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
+
+    results, fold_predictions, histories, weights = [], [], [], []
+    for fold, (train_idx, test_idx) in enumerate(cv.split(X, y)):
+        X_train, y_train = _subset(X, train_idx), y[train_idx]
+        X_test, y_test = _subset(X, test_idx), y[test_idx]
+        # Inner 80/20 split for early stopping (reference :404-407).
+        tr_idx, val_idx = train_test_indices(y_train, n_splits=5, seed=seed)
+        trainer = cache.get(hyperparams)
+        cfg = TrainConfig(
+            learning_rate=float(hyperparams["learning_rate"]),
+            epochs=epochs,
+            patience=patience,
+            batch_size=batch_size,
+            seed=seed + fold,
+        )
+        state, th, vh = train_model(
+            trainer,
+            _subset(X_train, tr_idx),
+            y_train[tr_idx],
+            _subset(X_train, val_idx),
+            y_train[val_idx],
+            cfg,
+            verbose=verbose,
+        )
+        histories.append({"train": th, "val": vh})
+        weights.append(_stability_vector(state))
+        y_true, y_pred, y_prob = evaluate_model(trainer, state, X_test, y_test, cfg)
+        fold_predictions.append({"y_true": y_true, "y_prob": y_prob})
+        results.append({"fold": fold + 1, **classification_metrics(y_true, y_pred, y_prob)})
+        if verbose:
+            print(f"[standard] fold {fold + 1}: {results[-1]}")
+    return pd.DataFrame(results), fold_predictions, histories, np.asarray(weights)
+
+
+def _inner_cv_score(
+    cache: _TrainerCache,
+    params: Mapping[str, Any],
+    X_tv: Sequence[np.ndarray],
+    y_tv: np.ndarray,
+    n_splits_inner: int,
+    inner_epochs: int,
+    inner_batch_size: int,
+    seed: int,
+) -> float:
+    """Mean inner-fold macro-F1 at fixed short training (reference
+    _objective: 3 folds × 15 epochs × batch 4, :224-254)."""
+    from .metrics import f1_macro
+
+    inner = StratifiedKFold(n_splits=n_splits_inner, shuffle=True, random_state=seed)
+    scores = []
+    trainer = cache.get(params)
+    for tr_idx, val_idx in inner.split(X_tv, y_tv):
+        cfg = TrainConfig(
+            learning_rate=float(params["learning_rate"]),
+            epochs=inner_epochs,
+            patience=inner_epochs + 1,  # no early stop in the tuning loop
+            batch_size=inner_batch_size,
+            seed=seed,
+        )
+        state, _, _ = train_model(
+            trainer,
+            _subset(X_tv, tr_idx),
+            y_tv[tr_idx],
+            _subset(X_tv, val_idx),
+            y_tv[val_idx],
+            cfg,
+        )
+        y_true, y_pred, _ = evaluate_model(
+            trainer, state, _subset(X_tv, val_idx), y_tv[val_idx], cfg
+        )
+        scores.append(f1_macro(y_true, y_pred))
+    return float(np.mean(scores))
+
+
+def run_dl_nested_cv(
+    sequences_dict: Mapping[str, np.ndarray],
+    metadata_df: pd.DataFrame,
+    n_splits_outer: int = 5,
+    n_splits_inner: int = 3,
+    n_trials: int = 20,
+    epochs: int = 100,
+    patience: int = 25,
+    batch_size: int = 8,
+    inner_epochs: int = 15,
+    inner_batch_size: int = 4,
+    seed: int = 42,
+    search_space: Optional[Mapping[str, tuple]] = None,
+    verbose: bool = False,
+) -> Tuple[pd.DataFrame, List[dict], np.ndarray]:
+    """Nested CV: per-outer-fold TPE hyperparameter search + final training.
+
+    Contract of reference run_pytorch_nested_cv_with_optuna (:257-354):
+    returns (results_df incl. best_params per fold, fold_predictions,
+    stability_weights).
+    """
+    space = dict(search_space or DEFAULT_SEARCH_SPACE)
+    X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
+    cache = _TrainerCache(input_dim=X[0].shape[1])
+    outer = StratifiedKFold(n_splits=n_splits_outer, shuffle=True, random_state=seed)
+
+    results, fold_predictions, weights = [], [], []
+    for fold, (tv_idx, test_idx) in enumerate(outer.split(X, y)):
+        X_tv, y_tv = _subset(X, tv_idx), y[tv_idx]
+        X_test, y_test = _subset(X, test_idx), y[test_idx]
+
+        def objective(trial):
+            params = {}
+            for name, spec in space.items():
+                kind = spec[0]
+                if kind == "float_log":
+                    params[name] = trial.suggest_float(name, spec[1], spec[2], log=True)
+                elif kind == "float":
+                    params[name] = trial.suggest_float(name, spec[1], spec[2])
+                else:
+                    params[name] = trial.suggest_categorical(name, spec[1])
+            return _inner_cv_score(
+                cache, params, X_tv, y_tv, n_splits_inner,
+                inner_epochs, inner_batch_size, seed,
+            )
+
+        study = Study(direction="maximize", sampler=TPESampler(seed=seed + fold))
+        study.optimize(objective, n_trials=n_trials)
+        best_params = study.best_params
+        if verbose:
+            print(f"[nested] fold {fold + 1} best: {best_params} "
+                  f"(inner F1 {study.best_value:.3f})")
+
+        # Final training on an 80/20 split of the outer train set
+        # (reference :316-333).
+        tr_idx, val_idx = train_test_indices(y_tv, n_splits=5, seed=seed)
+        trainer = cache.get(best_params)
+        cfg = TrainConfig(
+            learning_rate=float(best_params["learning_rate"]),
+            epochs=epochs,
+            patience=patience,
+            batch_size=batch_size,
+            seed=seed + fold,
+        )
+        state, _, _ = train_model(
+            trainer,
+            _subset(X_tv, tr_idx),
+            y_tv[tr_idx],
+            _subset(X_tv, val_idx),
+            y_tv[val_idx],
+            cfg,
+        )
+        weights.append(_stability_vector(state))
+        y_true, y_pred, y_prob = evaluate_model(trainer, state, X_test, y_test, cfg)
+        fold_predictions.append({"y_true": y_true, "y_prob": y_prob})
+        results.append(
+            {
+                "fold": fold + 1,
+                "best_params": dict(best_params),
+                **classification_metrics(y_true, y_pred, y_prob),
+            }
+        )
+        if verbose:
+            print(f"[nested] fold {fold + 1}: {results[-1]}")
+    return pd.DataFrame(results), fold_predictions, np.asarray(weights)

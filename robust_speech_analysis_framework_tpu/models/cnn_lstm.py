@@ -1,0 +1,262 @@
+"""CNN-LSTM sequence classifier (Flax), TPU-first.
+
+Capability parity with the reference's PyTorch model (src/models.py:109-192):
+two residual Conv1d blocks → time max-pool ×2 → 2-layer bidirectional LSTM →
+attention pooling → dropout → linear head, with silu/gelu activations
+selectable per hyperparameter search (src/models.py:7-25).
+
+TPU-first design differences from the reference (deliberate, not drift):
+
+* Feature-last layout ``(B, T, C)`` everywhere — Flax convs are NWC-native,
+  so the reference's two ``permute`` round-trips (src/models.py:172,181)
+  disappear.
+* The LSTM is a ``lax.scan`` whose input projections for *all four gates and
+  the whole sequence* are hoisted out of the scan into one big matmul
+  ``x @ W_all`` that lands on the MXU; only the small recurrent ``h @ U``
+  matmul runs per step. Bidirectional = the same cell scanned over the
+  reversed sequence (a ``jnp.flip``, free under XLA fusion).
+* An optional ``lengths`` argument masks padded timesteps in attention
+  pooling and freezes the LSTM state past each sequence's end. The reference
+  pads batches with zeros and lets padding flow through (its collate_fn,
+  src/dl_cv_strategies.py:64-84); ``lengths=None`` reproduces that exactly,
+  and is the default used by the parity CV engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """silu/gelu lookup (same legal set as reference src/models.py:7-25)."""
+    if name == "silu":
+        return nn.silu
+    if name == "gelu":
+        return nn.gelu
+    raise ValueError(f"Unsupported activation function: {name}")
+
+
+class ResidualBlock(nn.Module):
+    """Two k=3 same-padded convs with BN, plus a projected skip.
+
+    Structure parity: src/models.py:27-76 (conv→bn→act→dropout→conv→bn,
+    1×1-conv+BN shortcut when channel counts differ, post-add activation).
+    Operates on (B, T, C).
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    dropout: float = 0.2
+    activation_fn: str = "silu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        act = get_activation_fn(self.activation_fn)
+        h = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME", name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = act(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME", name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        if x.shape[-1] != self.out_channels:
+            s = nn.Conv(self.out_channels, (1,), name="shortcut_conv")(x)
+            s = nn.BatchNorm(use_running_average=not train, name="shortcut_bn")(s)
+        else:
+            s = x
+        return act(h + s)
+
+
+class LSTMCellFused(nn.Module):
+    """Single-direction LSTM layer as a scan with hoisted input projections.
+
+    The (T, B, 4H) input-gate pre-activations are computed once outside the
+    scan (one MXU matmul over the flattened (B*T, C) input); the scan body
+    only does the (B, H) @ (H, 4H) recurrent matmul. Gate order: i, f, g, o.
+    """
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        b, t, c = x.shape
+        h_dim = self.hidden_dim
+        wx = self.param(
+            "wx", nn.initializers.xavier_uniform(), (c, 4 * h_dim), jnp.float32
+        )
+        wh = self.param(
+            "wh", nn.initializers.orthogonal(), (h_dim, 4 * h_dim), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (4 * h_dim,), jnp.float32)
+
+        # One large matmul for every gate at every timestep.
+        gates_x = (x.reshape(b * t, c) @ wx).reshape(b, t, 4 * h_dim) + bias
+        gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H) scan-major
+
+        def step(carry, inputs):
+            h_prev, c_prev = carry
+            gx, t_idx = inputs
+            z = gx + h_prev @ wh
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c_new = f * c_prev + i * g
+            h_new = o * jnp.tanh(c_new)
+            if lengths is not None:
+                alive = (t_idx < lengths)[:, None]
+                h_new = jnp.where(alive, h_new, h_prev)
+                c_new = jnp.where(alive, c_new, c_prev)
+            return (h_new, c_new), h_new
+
+        init = (
+            jnp.zeros((b, h_dim), x.dtype),
+            jnp.zeros((b, h_dim), x.dtype),
+        )
+        t_indices = jnp.arange(t)
+        _, hs = jax.lax.scan(step, init, (gates_x, t_indices))
+        return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+class BiLSTM(nn.Module):
+    """Stacked bidirectional LSTM with inter-layer dropout.
+
+    Parity: torch ``nn.LSTM(bidirectional=True, num_layers=n, dropout=p)``
+    (src/models.py:145-152) — dropout applies between layers only.
+    """
+
+    hidden_dim: int
+    num_layers: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        h = x
+        for layer in range(self.num_layers):
+            fwd = LSTMCellFused(self.hidden_dim, name=f"fwd_{layer}")(h, lengths)
+            if lengths is None:
+                bwd_in = jnp.flip(h, axis=1)
+                bwd = LSTMCellFused(self.hidden_dim, name=f"bwd_{layer}")(bwd_in)
+                bwd = jnp.flip(bwd, axis=1)
+            else:
+                # Reverse only the valid prefix of each sequence.
+                t = h.shape[1]
+                idx = lengths[:, None] - 1 - jnp.arange(t)[None, :]
+                idx = jnp.clip(idx, 0, t - 1)
+                bwd_in = jnp.take_along_axis(h, idx[..., None], axis=1)
+                bwd = LSTMCellFused(self.hidden_dim, name=f"bwd_{layer}")(bwd_in, lengths)
+                bwd = jnp.take_along_axis(bwd, idx[..., None], axis=1)
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+            if layer < self.num_layers - 1 and self.dropout > 0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h
+
+
+class AttentionPooling(nn.Module):
+    """Learned softmax pooling over time (src/models.py:78-107).
+
+    With ``lengths`` given, padded steps are masked to -inf before softmax;
+    with ``lengths=None`` the reference's unmasked behavior is reproduced.
+    """
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        scores = nn.Dense(1, name="score")(x)  # (B, T, 1)
+        if lengths is not None:
+            t = x.shape[1]
+            mask = jnp.arange(t)[None, :, None] < lengths[:, None, None]
+            scores = jnp.where(mask, scores, -jnp.inf)
+        probs = nn.softmax(scores, axis=1)
+        return jnp.sum(x * probs, axis=1)  # (B, 2H)
+
+
+class CNNLSTM(nn.Module):
+    """Residual CNN front end + biLSTM + attention pooling classifier.
+
+    Hyperparameter surface matches the reference search space
+    (src/dl_cv_strategies.py:216-222): cnn_out_channels ∈ {32,64,128},
+    lstm_hidden_dim ∈ {64,128}, dropout_rate, activation_fn ∈ {silu,gelu}.
+    """
+
+    input_dim: int = 768
+    num_classes: int = 2
+    cnn_out_channels: int = 128
+    lstm_hidden_dim: int = 128
+    lstm_layers: int = 2
+    dropout_rate: float = 0.5
+    activation_fn: str = "silu"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        # (B, T, input_dim) feature-last throughout; no layout permutes needed.
+        def mask_pad(h, lens):
+            # Zero padded frames so SAME-padded convs can't read garbage and
+            # block outputs at padded positions can't leak into valid frames
+            # through the next conv. Makes logits invariant to both padding
+            # content and padding amount when ``lengths`` is provided.
+            if lens is None:
+                return h
+            m = jnp.arange(h.shape[1])[None, :, None] < lens[:, None, None]
+            return jnp.where(m, h, 0.0)
+
+        h = mask_pad(x, lengths)
+        h = ResidualBlock(
+            self.cnn_out_channels,
+            dropout=0.2,
+            activation_fn=self.activation_fn,
+            name="res_block1",
+        )(h, train)
+        h = mask_pad(h, lengths)
+        # Non-overlapping max-pool halves T (reference max_pool1d(2),
+        # src/models.py:177).
+        h = nn.max_pool(h, window_shape=(2,), strides=(2,))
+        if lengths is not None:
+            lengths = lengths // 2
+        h = mask_pad(h, lengths)
+        h = ResidualBlock(
+            self.cnn_out_channels,
+            dropout=0.2,
+            activation_fn=self.activation_fn,
+            name="res_block2",
+        )(h, train)
+        h = mask_pad(h, lengths)
+        h = BiLSTM(
+            self.lstm_hidden_dim,
+            num_layers=self.lstm_layers,
+            dropout=self.dropout_rate if self.lstm_layers > 1 else 0.0,
+            name="lstm",
+        )(h, train=train, lengths=lengths)
+        pooled = AttentionPooling(name="attention_pooling")(h, lengths)
+        pooled = nn.Dropout(self.dropout_rate, deterministic=not train)(pooled)
+        return nn.Dense(self.num_classes, name="fc")(pooled)
+
+    def first_conv_kernel(self, params) -> jnp.ndarray:
+        """res_block1/conv1 kernel, for the reference's feature-stability
+        probe (mean |weight| over output channels per input dim:
+        src/dl_cv_strategies.py:336-337). Shape (k, input_dim, out_channels).
+        """
+        return params["params"]["res_block1"]["conv1"]["kernel"]
+
+
+def stability_probe(variables) -> jnp.ndarray:
+    """Per-input-dim importance = mean |res_block1.conv1 kernel| over taps
+    and output channels → (input_dim,) vector, matching the reference's
+    768-dim fold-stability vectors (src/dl_cv_strategies.py:336-337)."""
+    k = variables["params"]["res_block1"]["conv1"]["kernel"]  # (taps, in, out)
+    return jnp.mean(jnp.abs(k), axis=(0, 2))

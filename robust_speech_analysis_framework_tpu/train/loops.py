@@ -1,0 +1,285 @@
+"""Jitted training/eval engine for sequence classifiers.
+
+Capability parity with the reference's torch loop (src/dl_cv_strategies.py:
+87-194): epoch training with Adam + cross-entropy, per-epoch validation,
+``ReduceLROnPlateau(factor=0.1, patience=5)``, early stopping with best-weight
+restore, and an eval pass returning (labels, preds, positive-class probs).
+
+TPU-first structure: the train/eval steps are pure jitted functions over a
+``TrainState`` pytree; the learning-rate plateau logic runs host-side between
+epochs and feeds the LR in as a state field (so LR changes don't recompile).
+Batches arrive bucket-padded (data/batching.py), bounding compile count; the
+same compiled step is reused across folds/trials of equal model shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    lr: jnp.ndarray  # current learning rate (host-adjustable, no recompile)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    epochs: int = 100
+    patience: int = 25
+    batch_size: int = 8
+    seed: int = 0
+    plateau_factor: float = 0.1
+    plateau_patience: int = 5
+    use_length_masking: bool = False  # reference parity: padding unmasked
+    min_bucket: int = 64
+
+
+class ReduceLROnPlateau:
+    """Multiply LR by ``factor`` after ``patience`` epochs without val-loss
+    improvement (torch ReduceLROnPlateau semantics, mode='min', as configured
+    at src/dl_cv_strategies.py:330)."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 5, min_lr: float = 0.0,
+                 threshold: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.threshold = threshold
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                lr = max(lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return lr
+
+
+class Trainer:
+    """Owns the jitted step functions for one model architecture.
+
+    Re-used across folds and hyperparameter trials that share a model config,
+    so XLA compiles each (batch, time) bucket shape once.
+    """
+
+    def __init__(self, model, adam_eps: float = 1e-8):
+        self.model = model
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=1.0, eps=adam_eps)
+        self._train_step = jax.jit(self._train_step_impl, static_argnums=(3,))
+        self._eval_step = jax.jit(self._eval_step_impl, static_argnums=(3,))
+
+    def init_state(self, rng: jax.Array, example: jnp.ndarray, lr: float) -> TrainState:
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, example, train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            lr=jnp.asarray(lr, jnp.float32),
+        )
+
+    # --- steps -------------------------------------------------------------
+
+    def _apply(self, params, batch_stats, batch, lengths, train, rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=train)
+        if lengths is not None:
+            kwargs["lengths"] = lengths
+        if train:
+            out, updates = self.model.apply(
+                variables,
+                batch,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+                **kwargs,
+            )
+            return out, updates["batch_stats"]
+        out = self.model.apply(variables, batch, **kwargs)
+        return out, batch_stats
+
+    def _train_step_impl(self, state: TrainState, batch_and_labels, rng, masked):
+        batch, lengths, labels = batch_and_labels
+        if not masked:
+            lengths = None
+
+        def loss_fn(params):
+            logits, new_stats = self._apply(
+                params, state.batch_stats, batch, lengths, True, rng
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = state.lr
+        updates, opt_state = self.tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(params=params, batch_stats=new_stats, opt_state=opt_state),
+            loss,
+        )
+
+    def _eval_step_impl(self, state: TrainState, batch, lengths, masked):
+        if not masked:
+            lengths = None
+        logits, _ = self._apply(state.params, state.batch_stats, batch, lengths, False)
+        return logits
+
+    # --- epoch-level API ---------------------------------------------------
+
+    def eval_logits(
+        self,
+        state: TrainState,
+        sequences: Sequence[np.ndarray],
+        cfg: TrainConfig,
+    ) -> np.ndarray:
+        from ..data.batching import pad_batch, length_sorted_batches
+
+        logits_out = np.zeros((len(sequences), self.model.num_classes), np.float32)
+        for idx in length_sorted_batches(sequences, cfg.batch_size):
+            batch, lengths = pad_batch(
+                [sequences[i] for i in idx], min_bucket=cfg.min_bucket
+            )
+            logits = self._eval_step(
+                state, jnp.asarray(batch), jnp.asarray(lengths), cfg.use_length_masking
+            )
+            logits_out[idx] = np.asarray(logits)
+        return logits_out
+
+
+def _mean_val_loss(trainer, state, sequences, labels, cfg) -> float:
+    """Batch-averaged validation loss (mean of per-batch means, matching the
+    reference's ``val_loss / len(val_loader)`` at src/dl_cv_strategies.py:141)."""
+    from ..data.batching import batch_iterator
+
+    losses = []
+    for batch, lengths, labs in batch_iterator(
+        sequences, labels, cfg.batch_size, shuffle=False, min_bucket=cfg.min_bucket
+    ):
+        logits = trainer._eval_step(
+            state, jnp.asarray(batch), jnp.asarray(lengths), cfg.use_length_masking
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            jnp.asarray(logits), jnp.asarray(labs)
+        ).mean()
+        losses.append(float(loss))
+    return float(np.mean(losses))
+
+
+def train_model(
+    trainer: Trainer,
+    train_sequences: Sequence[np.ndarray],
+    train_labels: Sequence[int],
+    val_sequences: Sequence[np.ndarray],
+    val_labels: Sequence[int],
+    cfg: TrainConfig,
+    verbose: bool = False,
+) -> Tuple[TrainState, List[float], List[float]]:
+    """Full training run with early stopping and best-weight restore.
+
+    Returns (best_state, train_loss_history, val_loss_history) — the same
+    contract as the reference's _train_eval_loop (src/dl_cv_strategies.py:
+    87-165): per-epoch mean train loss, per-epoch val loss, plateau LR decay,
+    stop after ``patience`` epochs without val improvement, return the
+    best-val-loss weights.
+    """
+    from ..data.batching import batch_iterator, pad_batch
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    example, _ = pad_batch(
+        [train_sequences[0][: max(len(train_sequences[0]), 2)]],
+        min_bucket=cfg.min_bucket,
+    )
+    rng, init_rng = jax.random.split(rng)
+    state = trainer.init_state(init_rng, jnp.asarray(example), cfg.learning_rate)
+
+    scheduler = ReduceLROnPlateau(cfg.plateau_factor, cfg.plateau_patience)
+    best_val = float("inf")
+    best_state = state
+    epochs_no_improve = 0
+    train_hist: List[float] = []
+    val_hist: List[float] = []
+    lr = cfg.learning_rate
+
+    for epoch in range(cfg.epochs):
+        epoch_losses = []
+        for batch, lengths, labs in batch_iterator(
+            train_sequences,
+            train_labels,
+            cfg.batch_size,
+            shuffle=True,
+            seed=cfg.seed + epoch,
+            min_bucket=cfg.min_bucket,
+        ):
+            rng, step_rng = jax.random.split(rng)
+            state, loss = trainer._train_step(
+                state,
+                (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(labs)),
+                step_rng,
+                cfg.use_length_masking,
+            )
+            epoch_losses.append(float(loss))
+        train_hist.append(float(np.mean(epoch_losses)))
+
+        val_loss = _mean_val_loss(trainer, state, val_sequences, val_labels, cfg)
+        val_hist.append(val_loss)
+        lr = scheduler.step(val_loss, lr)
+        state = state.replace(lr=jnp.asarray(lr, jnp.float32))
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_state = state
+            epochs_no_improve = 0
+        else:
+            epochs_no_improve += 1
+        if verbose:
+            print(
+                f"epoch {epoch + 1}: train {train_hist[-1]:.4f} "
+                f"val {val_loss:.4f} lr {lr:.2e}"
+            )
+        if epochs_no_improve >= cfg.patience:
+            if verbose:
+                print(f"  > early stop at epoch {epoch + 1}")
+            break
+
+    return best_state, train_hist, val_hist
+
+
+def evaluate_model(
+    trainer: Trainer,
+    state: TrainState,
+    sequences: Sequence[np.ndarray],
+    labels: Sequence[int],
+    cfg: TrainConfig,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(y_true, y_pred, p_class1) — contract of reference _eval_model
+    (src/dl_cv_strategies.py:168-194)."""
+    logits = trainer.eval_logits(state, sequences, cfg)
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)[:, 1]
+    preds = np.argmax(logits, axis=-1)
+    return np.asarray(labels), np.asarray(preds), np.asarray(probs)

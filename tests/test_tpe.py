@@ -1,0 +1,85 @@
+"""TPE tuner: API contract and optimization behavior."""
+
+import math
+
+import numpy as np
+import pytest
+
+from robust_speech_analysis_framework_tpu.tune import Study, TPESampler, create_study
+
+
+def test_api_contract():
+    study = create_study(direction="maximize", seed=0)
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-3, log=True)
+        d = trial.suggest_float("dropout", 0.2, 0.5)
+        c = trial.suggest_categorical("channels", [32, 64, 128])
+        assert 1e-5 <= lr <= 1e-3
+        assert 0.2 <= d <= 0.5
+        assert c in (32, 64, 128)
+        return lr * 1000 + d + c / 100
+
+    study.optimize(objective, n_trials=8)
+    assert len(study.trials) == 8
+    assert set(study.best_params) == {"lr", "dropout", "channels"}
+    assert study.best_value == max(t["raw_value"] for t in study.trials)
+
+
+def test_tpe_beats_random_on_quadratic():
+    """TPE should concentrate samples near the optimum of a smooth function,
+    and do at least as well as pure random search on the same budget."""
+
+    def objective_value(x):
+        return (x - 1.7) ** 2
+
+    def run_tpe(sampler_seed):
+        study = Study(direction="minimize", sampler=TPESampler(seed=sampler_seed, n_startup_trials=8))
+
+        def objective(trial):
+            return objective_value(trial.suggest_float("x", -5.0, 5.0))
+
+        study.optimize(objective, n_trials=40)
+        return study.best_trial["raw_value"]
+
+    def run_random(seed):
+        rng = np.random.RandomState(seed)
+        return min(objective_value(x) for x in rng.uniform(-5, 5, size=40))
+
+    tpe_best = [run_tpe(s) for s in range(5)]
+    rand_best = [run_random(s) for s in range(5)]
+    assert np.median(tpe_best) < 0.1
+    assert np.median(tpe_best) <= np.median(rand_best) * 1.5
+
+
+def test_tpe_categorical_converges():
+    study = Study(direction="maximize", sampler=TPESampler(seed=1, n_startup_trials=6))
+
+    def objective(trial):
+        c = trial.suggest_categorical("c", ["a", "b", "d"])
+        return {"a": 0.1, "b": 1.0, "d": 0.2}[c]
+
+    study.optimize(objective, n_trials=30)
+    assert study.best_params["c"] == "b"
+    # later trials should mostly pick 'b'
+    late = [t["params"]["c"] for t in study.trials[-10:]]
+    assert late.count("b") >= 5
+
+
+def test_log_scale_sampling_spans_decades():
+    study = Study(direction="minimize", sampler=TPESampler(seed=2))
+    vals = []
+
+    def objective(trial):
+        v = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+        vals.append(v)
+        return 0.0
+
+    study.optimize(objective, n_trials=30)
+    logs = np.log10(vals)
+    assert logs.min() < -3.5 and logs.max() > -2.0
+
+
+def test_direction_validation():
+    with pytest.raises(ValueError):
+        Study(direction="sideways")
