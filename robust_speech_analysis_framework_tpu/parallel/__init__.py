@@ -1,0 +1,16 @@
+from .mesh import make_mesh, mesh_axes
+from .sharding import (
+    batch_sharding,
+    replicate,
+    shard_params,
+    DEFAULT_PARAM_RULES,
+)
+
+__all__ = [
+    "make_mesh",
+    "mesh_axes",
+    "batch_sharding",
+    "replicate",
+    "shard_params",
+    "DEFAULT_PARAM_RULES",
+]
