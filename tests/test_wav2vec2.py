@@ -1,0 +1,144 @@
+"""Wav2Vec2 JAX model + extractor: parity vs HF torch, chunk semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robust_speech_analysis_framework_tpu.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    port_hf_state_dict,
+)
+from robust_speech_analysis_framework_tpu.features.wav2vec2 import Wav2Vec2Extractor
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    """Random-init 2-layer HF model + ported params (no network needed)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Wav2Vec2Config as HFCfg, Wav2Vec2Model as HFModel
+
+    torch.manual_seed(0)
+    hf = HFModel(HFCfg(num_hidden_layers=2)).eval()
+    params = port_hf_state_dict({k: v.numpy() for k, v in hf.state_dict().items()})
+    return hf, params
+
+
+def test_output_length_formula():
+    cfg = Wav2Vec2Config()
+    # 5 s at 16 kHz → 249 frames (stride 320, receptive field 400)
+    assert cfg.output_length(80000) == 249
+    assert cfg.output_length(16000) == 49
+    assert cfg.output_length(8000) == 24
+
+
+def test_parity_vs_hf_single(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    model = Wav2Vec2Model(Wav2Vec2Config(num_layers=2))
+    wav = np.random.default_rng(0).normal(size=(1, 16000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
+    ours, _ = model.apply(params, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+
+def test_parity_vs_hf_ragged_batch(hf_pair):
+    import torch
+
+    hf, params = hf_pair
+    model = Wav2Vec2Model(Wav2Vec2Config(num_layers=2))
+    rng = np.random.default_rng(1)
+    lens = [16000, 9000, 12345]
+    wavs = [rng.normal(size=l).astype(np.float32) * 0.1 for l in lens]
+    padded = np.zeros((3, 16000), np.float32)
+    for i, w in enumerate(wavs):
+        padded[i, : len(w)] = w
+    ours, out_lens = model.apply(
+        params, jnp.asarray(padded), lengths=jnp.asarray(lens)
+    )
+    ours, out_lens = np.asarray(ours), np.asarray(out_lens)
+    for i, w in enumerate(wavs):
+        with torch.no_grad():
+            ref = hf(torch.tensor(w[None])).last_hidden_state.numpy()[0]
+        assert out_lens[i] == ref.shape[0]
+        np.testing.assert_allclose(ours[i, : out_lens[i]], ref, atol=2e-5)
+
+
+def _tiny_extractor(params=None):
+    return Wav2Vec2Extractor(
+        params=params, config=Wav2Vec2Config(num_layers=2), batch_size=4
+    )
+
+
+def test_extractor_chunk_boundaries():
+    ex = _tiny_extractor()
+    sr = 16000
+    # 11 s file: chunk starts at 0, 4, 8 s → chunks of 5, 5, 3 s
+    wav = np.zeros(11 * sr, np.float32)
+    chunks = ex._chunk(wav)
+    assert [len(c) for c in chunks] == [5 * sr, 5 * sr, 3 * sr]
+    # 16.2 s: starts 0,4,8,12,16 → 5,5,5,4.2,0.2 s; the 0.2 s tail dropped
+    wav = np.zeros(int(16.2 * sr), np.float32)
+    assert [len(c) for c in ex._chunk(wav)] == [
+        5 * sr, 5 * sr, 5 * sr, int(4.2 * sr)
+    ]
+
+
+def test_extractor_sequence_shapes_and_overlap_duplication():
+    ex = _tiny_extractor()
+    cfg = ex.config
+    sr = 16000
+    rng = np.random.default_rng(2)
+    seqs = ex.extract_sequences(
+        {
+            "a.wav": rng.normal(size=9 * sr).astype(np.float32) * 0.1,
+            "short.wav": np.zeros(1000, np.float32),  # < 0.5 s → skipped
+            "b.wav": rng.normal(size=4 * sr).astype(np.float32) * 0.1,
+        },
+        verbose=False,
+    )
+    assert set(seqs) == {"a.wav", "b.wav"}
+    # 9 s → chunk starts 0/4/8 s → chunks 5 s, 5 s, 1 s; the 1 s overlaps are
+    # NOT trimmed (reference quirk), so frames = 249 + 249 + 49
+    assert seqs["a.wav"].shape == (
+        2 * cfg.output_length(5 * sr) + cfg.output_length(sr), 768
+    )
+    assert seqs["b.wav"].shape == (cfg.output_length(4 * sr), 768)
+
+
+def test_extractor_batched_equals_unbatched(hf_pair):
+    """Corpus-batched extraction must equal one-chunk-at-a-time HF inference."""
+    import torch
+
+    hf, params = hf_pair
+    ex = _tiny_extractor(params=params)
+    sr = 16000
+    rng = np.random.default_rng(3)
+    wav = rng.normal(size=int(6.5 * sr)).astype(np.float32) * 0.1
+    seqs = ex.extract_sequences({"x.wav": wav}, verbose=False)
+
+    # reference-style serial chunking: 5 s chunk + 2.5 s chunk
+    refs = []
+    for start in (0, 4 * sr):
+        c = wav[start : start + 5 * sr]
+        with torch.no_grad():
+            refs.append(hf(torch.tensor(c[None])).last_hidden_state.numpy()[0])
+    ref = np.vstack(refs)
+    assert seqs["x.wav"].shape == ref.shape
+    np.testing.assert_allclose(seqs["x.wav"], ref, atol=3e-5)
+
+
+def test_mean_pool_embeddings():
+    ex = _tiny_extractor()
+    sr = 16000
+    df = ex.extract_embeddings(
+        {"a.wav": np.random.default_rng(4).normal(size=2 * sr).astype(np.float32)},
+        verbose=False,
+    )
+    assert df.shape == (1, 769)
+    assert "filename" in df.columns
+    assert "dim_767" in df.columns
