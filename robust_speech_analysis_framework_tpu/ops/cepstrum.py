@@ -1,0 +1,159 @@
+"""Power cepstrogram and cepstral peak prominence (CPPS).
+
+Replaces the Praat path of the reference's CPP feature
+(src/mshds_extractor.py:286-298: ``To PowerCepstrogram: 60, 0.002, 5000,
+50`` then ``Get CPPS`` with peak search 60-330 Hz, straight robust trend):
+
+* resample to 2×max_frequency, optional preemphasis from 50 Hz;
+* Gaussian windows of 2/pitch_floor seconds every ``time_step``;
+* per frame: power spectrum → dB → power cepstrum
+  ``|FFT(log-power-spectrum)|²`` expressed in dB;
+* CPPS per frame: highest cepstral peak (parabolic) inside the quefrency
+  band [1/f_max, 1/f_min], minus a robust (iteratively reweighted) straight
+  line fit of cepstrum-dB over quefrency; averaged over frames.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pitch import praat_frame_grid
+
+
+class PowerCepstrogram(NamedTuple):
+    times: np.ndarray  # (N,)
+    quefrencies: np.ndarray  # (Q,) seconds
+    cepstrum_db: np.ndarray  # (N, Q)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _cepstrum_frames(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    spec = jnp.fft.rfft(frames, n_fft)
+    power = jnp.real(spec * jnp.conj(spec))
+    log_power = jnp.log10(jnp.maximum(power, 1e-30))
+    ceps = jnp.fft.rfft(log_power, n_fft)
+    return jnp.real(ceps * jnp.conj(ceps))
+
+
+def power_cepstrogram(
+    x: np.ndarray,
+    sr: float,
+    pitch_floor: float = 60.0,
+    time_step: float = 0.002,
+    max_frequency: float = 5000.0,
+    preemphasis_from: float = 50.0,
+) -> PowerCepstrogram:
+    from ..audio.resample import resample_poly_np
+
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    target_sr = 2.0 * max_frequency
+    if sr != target_sr:
+        g = math.gcd(int(round(target_sr)), int(round(sr)))
+        x = resample_poly_np(x, int(round(target_sr)) // g, int(round(sr)) // g)
+        sr = target_sr
+    if preemphasis_from > 0:
+        pre = math.exp(-2.0 * math.pi * preemphasis_from / sr)
+        x = np.concatenate([[x[0] * (1 - pre)], x[1:] - pre * x[:-1]])
+
+    window_s = 2.0 / pitch_floor
+    n_frames, t0 = praat_frame_grid(len(x), sr, window_s, time_step)
+    if n_frames < 1:
+        return PowerCepstrogram(np.zeros(0), np.zeros(0), np.zeros((0, 0)))
+    win_len = int(round(window_s * sr))
+    k = np.arange(win_len) - (win_len - 1) / 2
+    window = np.exp(-0.5 * (6.0 * k / win_len) ** 2)  # Gaussian, σ = L/6
+    centers = t0 + np.arange(n_frames) * time_step
+    starts = np.clip(
+        np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
+    )
+    frames = x[starts[:, None] + np.arange(win_len)[None, :]] * window
+    n_fft = 1 << int(np.ceil(np.log2(win_len)))
+    ceps_pow = np.asarray(_cepstrum_frames(jnp.asarray(frames), n_fft))
+    # Quefrency axis: the log-power spectrum (n_fft//2+1 samples at
+    # Δf = sr/n_fft) is zero-padded back to n_fft before its rfft, so bin q
+    # sits at quefrency q/(n_fft·Δf) = q/sr exactly.
+    dq = 1.0 / sr
+    quefrency = np.arange(ceps_pow.shape[1]) * dq
+    ceps_db = 10.0 * np.log10(np.maximum(ceps_pow, 1e-30))
+    return PowerCepstrogram(centers, quefrency, ceps_db)
+
+
+def _robust_line_fit(
+    q: np.ndarray, v: np.ndarray, iters: int = 5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame straight-line fit of v over q with Tukey-style reweighting.
+
+    q: (Q,), v: (N, Q) → (slope (N,), intercept (N,)).
+    """
+    n, Q = v.shape
+    w = np.ones_like(v)
+    slope = np.zeros(n)
+    inter = np.zeros(n)
+    for _ in range(iters):
+        sw = w.sum(axis=1)
+        sq = (w * q[None, :]).sum(axis=1)
+        sv = (w * v).sum(axis=1)
+        sqq = (w * q[None, :] ** 2).sum(axis=1)
+        sqv = (w * q[None, :] * v).sum(axis=1)
+        denom = np.maximum(sw * sqq - sq**2, 1e-30)
+        slope = (sw * sqv - sq * sv) / denom
+        inter = (sv - slope * sq) / sw
+        resid = v - (slope[:, None] * q[None, :] + inter[:, None])
+        mad = np.median(np.abs(resid), axis=1, keepdims=True)
+        c = 4.685 * np.maximum(mad, 1e-12) / 0.6745
+        u = resid / c
+        w = np.where(np.abs(u) < 1.0, (1 - u**2) ** 2, 0.0)
+        w = np.maximum(w, 1e-6)
+    return slope, inter
+
+
+def cpps(
+    cg: PowerCepstrogram,
+    pitch_min: float = 60.0,
+    pitch_max: float = 330.0,
+    trend_q_start: float = 0.001,
+    trend_q_end: float = 0.0,
+) -> Tuple[float, np.ndarray]:
+    """Mean cepstral peak prominence (smoothed) over frames.
+
+    Returns (mean_cpps, per_frame_prominence). Trend fitted robustly over
+    [trend_q_start, trend_q_end or max quefrency].
+    """
+    if len(cg.times) == 0:
+        return float("nan"), np.zeros(0)
+    q = cg.quefrencies
+    v = cg.cepstrum_db
+    q_lo, q_hi = 1.0 / pitch_max, 1.0 / pitch_min
+    band = (q >= q_lo) & (q <= q_hi)
+    if not band.any():
+        return float("nan"), np.zeros(0)
+    trend_end = trend_q_end if trend_q_end > 0 else q[-1]
+    trend_mask = (q >= trend_q_start) & (q <= trend_end)
+    slope, inter = _robust_line_fit(q[trend_mask], v[:, trend_mask])
+
+    band_idx = np.flatnonzero(band)
+    sub = v[:, band_idx]
+    rel = sub.argmax(axis=1)
+    idx = band_idx[rel]
+    rows = np.arange(v.shape[0])
+    peak = v[rows, idx]
+    # parabolic peak refinement
+    il = np.clip(idx - 1, 0, v.shape[1] - 1)
+    ir = np.clip(idx + 1, 0, v.shape[1] - 1)
+    dl = peak - v[rows, il]
+    dr = peak - v[rows, ir]
+    denom = dl + dr
+    ok = denom > 0
+    peak_ref = peak + np.where(ok, 0.125 * (dl - dr) ** 2 / np.maximum(denom, 1e-12), 0.0)
+    q_peak = q[idx] + np.where(
+        ok, 0.5 * (dl - dr) / np.maximum(denom, 1e-12), 0.0
+    ) * (q[1] - q[0])
+    trend_at_peak = slope * q_peak + inter
+    prominence = peak_ref - trend_at_peak
+    return float(np.mean(prominence)), prominence

@@ -1,0 +1,192 @@
+"""Formant estimation by Burg's method (Praat ``To Formant (burg)...``).
+
+Replaces the Praat native path at src/mshds_extractor.py:319 (step 5 ms,
+5 formants to 5 kHz, window 25 ms, preemphasis from 50 Hz):
+
+1. resample to 2×max_formant (device polyphase kernel);
+2. preemphasis ``x[t] −= exp(−2π·F·dx)·x[t−1]`` from 50 Hz;
+3. Gaussian-like windows of 2× the nominal length on the Praat grid;
+4. Burg AR(2·n_formants) per frame — a ``fori_loop`` over model order with
+   all frames advancing in lockstep (batched on device);
+5. polynomial roots via batched Durand–Kerner iteration (plain complex
+   arithmetic → runs on TPU, unlike nonsymmetric eig);
+6. roots → (frequency, bandwidth), filtered to (50 Hz, max_formant−50).
+
+Formant tracks support Praat-style linear interpolation at arbitrary times
+for the pulse-located sampling the reference does (:326-331).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pitch import praat_frame_grid
+
+
+@partial(jax.jit, static_argnums=(1,))
+def burg_coeffs(frames: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Batched Burg AR coefficients.
+
+    frames: (N, L) → a: (N, order) with prediction model
+    x[t] ≈ −Σ a[k]·x[t−1−k] (sign convention: polynomial 1 + Σ a_k z^-k).
+    """
+    n, L = frames.shape
+    ef = frames.astype(jnp.float64) if frames.dtype == jnp.float64 else frames
+    eb = ef
+    a = jnp.zeros((n, order), ef.dtype)
+    idx = jnp.arange(L)
+
+    def body(m, carry):
+        ef, eb, a = carry
+        # valid region for this order: forward errors at t ∈ [m+1, L), backward at [m, L-1)
+        mask = (idx >= m + 1).astype(ef.dtype)
+        ef_s = ef * mask
+        eb_prev = jnp.roll(eb, 1, axis=1) * mask  # eb[t-1] aligned to t
+        num = -2.0 * jnp.sum(ef_s * eb_prev, axis=1)
+        den = jnp.sum(ef_s * ef_s, axis=1) + jnp.sum(eb_prev * eb_prev, axis=1)
+        k = num / jnp.maximum(den, 1e-30)
+        ef_new = ef + k[:, None] * jnp.roll(eb, 1, axis=1)
+        eb_new = jnp.roll(eb, 1, axis=1) + k[:, None] * ef
+        # Levinson update: a_new[j] = a[j] + k·a[m−1−j] for j<m; a_new[m] = k.
+        ks = jnp.arange(order)
+        prev_mask = (ks < m).astype(a.dtype)
+        take = jnp.where(ks < m, m - 1 - ks, 0)
+        a_flip = jnp.take_along_axis(a, jnp.broadcast_to(take[None, :], a.shape), axis=1)
+        a_new = a + k[:, None] * a_flip * prev_mask[None, :]
+        a_new = a_new.at[:, m].set(k)
+        return ef_new, eb_new, a_new
+
+    ef, eb, a = jax.lax.fori_loop(0, order, body, (ef, eb, a))
+    return a
+
+
+@partial(jax.jit, static_argnums=(1,))
+def durand_kerner_roots(coeffs: jnp.ndarray, iters: int = 60) -> jnp.ndarray:
+    """Batched roots of monic polynomials z^m + c1 z^(m-1) + ... + cm.
+
+    coeffs: (N, m) in descending power order (excluding the leading 1).
+    Returns (N, m) complex roots. Durand–Kerner with ring initialization.
+    """
+    n, m = coeffs.shape
+    c = coeffs.astype(jnp.complex64)
+
+    # initial guesses on a ring (distinct angles, radius from coeff norm)
+    angles = 2.0 * np.pi * (np.arange(m) + 0.35) / m
+    radius = 0.9
+    z0 = jnp.asarray(radius * np.exp(1j * angles), jnp.complex64)
+    z = jnp.broadcast_to(z0[None, :], (n, m))
+
+    full = jnp.concatenate([jnp.ones((n, 1), jnp.complex64), c], axis=1)  # (N, m+1)
+
+    def poly_eval(z):
+        # Horner over coefficients, batched: p(z) for each root guess.
+        def horner(acc, coef):
+            return acc * z + coef[:, None], None
+        acc = jnp.zeros_like(z)
+        acc, _ = jax.lax.scan(horner, acc, jnp.swapaxes(full, 0, 1))
+        return acc
+
+    def step(z, _):
+        p = poly_eval(z)
+        diff = z[:, :, None] - z[:, None, :]  # (N, m, m)
+        eye = jnp.eye(m, dtype=bool)[None]
+        denom = jnp.prod(jnp.where(eye, 1.0 + 0j, diff), axis=2)
+        z_new = z - p / jnp.where(jnp.abs(denom) < 1e-20, 1e-20 + 0j, denom)
+        return z_new, None
+
+    z, _ = jax.lax.scan(step, z, None, length=iters)
+    return z
+
+
+class FormantTrack(NamedTuple):
+    times: np.ndarray  # (N,)
+    freqs: np.ndarray  # (N, n_formants) Hz, NaN where absent
+    bands: np.ndarray  # (N, n_formants) Hz bandwidths, NaN where absent
+
+    def _interp(self, grid: np.ndarray, t) -> np.ndarray:
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        dt = self.times[1] - self.times[0] if len(self.times) > 1 else 1.0
+        pos = (t - self.times[0]) / dt
+        i0 = np.clip(np.floor(pos).astype(int), 0, len(self.times) - 1)
+        i1 = np.clip(i0 + 1, 0, len(self.times) - 1)
+        w = np.clip(pos - i0, 0.0, 1.0)[:, None]
+        vals = (1 - w) * grid[i0] + w * grid[i1]
+        out = (t < self.times[0] - dt / 2) | (t > self.times[-1] + dt / 2)
+        vals[out] = np.nan
+        return vals
+
+    def value_at(self, formant_number: int, t) -> np.ndarray:
+        v = self._interp(self.freqs, t)[:, formant_number - 1]
+        return v if v.shape != (1,) else float(v[0])
+
+    def bandwidth_at(self, formant_number: int, t) -> np.ndarray:
+        v = self._interp(self.bands, t)[:, formant_number - 1]
+        return v if v.shape != (1,) else float(v[0])
+
+
+def formant_track_burg(
+    x: np.ndarray,
+    sr: float,
+    time_step: float = 0.005,
+    max_formants: float = 5.0,
+    max_formant_hz: float = 5000.0,
+    window_length: float = 0.025,
+    preemphasis_from: float = 50.0,
+) -> FormantTrack:
+    """Full Burg formant pass; arguments mirror the Praat command order used
+    at src/mshds_extractor.py:319."""
+    from ..audio.resample import resample_poly_np
+
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    target_sr = 2.0 * max_formant_hz
+    if sr != target_sr:
+        g = math.gcd(int(round(target_sr)), int(round(sr)))
+        x = resample_poly_np(x, int(round(target_sr)) // g, int(round(sr)) // g)
+        sr = target_sr
+    dx = 1.0 / sr
+    pre = math.exp(-2.0 * math.pi * preemphasis_from * dx)
+    x = np.concatenate([[x[0] * (1 - pre)], x[1:] - pre * x[:-1]])
+
+    phys_window = 2.0 * window_length  # Praat: Gaussian window twice as long
+    n_frames, t0 = praat_frame_grid(len(x), sr, phys_window, time_step)
+    if n_frames < 1:
+        empty = np.zeros((0, int(max_formants)))
+        return FormantTrack(np.zeros(0), empty, empty)
+    win_len = int(round(phys_window * sr))
+    k = np.arange(win_len) - (win_len - 1) / 2
+    # Praat's Gaussian-like analysis window
+    window = (np.exp(-48.0 * (k / win_len) ** 2) - math.exp(-12.0)) / (
+        1.0 - math.exp(-12.0)
+    )
+    centers = t0 + np.arange(n_frames) * time_step
+    starts = np.clip(
+        np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
+    )
+    frames = x[starts[:, None] + np.arange(win_len)[None, :]] * window
+
+    order = int(2 * max_formants)
+    a = np.asarray(burg_coeffs(jnp.asarray(frames), order))
+    roots = np.asarray(durand_kerner_roots(jnp.asarray(a)))
+
+    freq = np.abs(np.arctan2(roots.imag, roots.real)) * sr / (2 * np.pi)
+    bw = -np.log(np.maximum(np.abs(roots), 1e-12)) * sr / np.pi
+    valid = (freq > 50.0) & (freq < max_formant_hz - 50.0) & (roots.imag > 0)
+
+    n_keep = int(max_formants)
+    out_f = np.full((n_frames, n_keep), np.nan)
+    out_b = np.full((n_frames, n_keep), np.nan)
+    for i in range(n_frames):
+        fs = freq[i][valid[i]]
+        bs = bw[i][valid[i]]
+        order_idx = np.argsort(fs)
+        fs, bs = fs[order_idx], bs[order_idx]
+        m = min(len(fs), n_keep)
+        out_f[i, :m] = fs[:m]
+        out_b[i, :m] = bs[:m]
+    return FormantTrack(centers, out_f, out_b)

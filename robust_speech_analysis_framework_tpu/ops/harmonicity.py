@@ -1,0 +1,81 @@
+"""Harmonics-to-noise ratio (Praat ``Sound: To Harmonicity (cc)...``).
+
+Replaces the Praat native path used for the HNR feature and for the
+speechrate voice-quality probe (src/mshds_extractor.py:36,221-223). Boersma
+(1993): per frame, the maximum r of the normalized forward cross-correlation
+within the pitch band estimates the fraction of periodic energy; HNR(dB) =
+10·log10(r/(1−r)). Frames whose local peak falls below
+``silence_threshold × global peak`` (or with no positive correlation peak)
+are undefined and excluded from summary statistics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .pitch import praat_frame_grid, _forward_crosscorr
+
+
+class HarmonicityContour(NamedTuple):
+    times: np.ndarray
+    hnr_db: np.ndarray  # NaN where undefined
+
+    def mean_db(self) -> float:
+        v = self.hnr_db[np.isfinite(self.hnr_db)]
+        return float(v.mean()) if v.size else float("nan")
+
+
+def harmonicity_cc(
+    x: np.ndarray,
+    sr: float,
+    time_step: float = 0.01,
+    minimum_pitch: float = 75.0,
+    silence_threshold: float = 0.1,
+    periods_per_window: float = 4.5,
+) -> HarmonicityContour:
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    window_s = periods_per_window / minimum_pitch
+    n_frames, t0 = praat_frame_grid(len(x), sr, window_s, time_step)
+    if n_frames < 1:
+        return HarmonicityContour(np.zeros(0), np.zeros(0))
+
+    win_len = int(round(window_s * sr))
+    max_lag = int(math.ceil(sr / minimum_pitch)) + 2
+    ext = win_len + max_lag
+    centers = t0 + np.arange(n_frames) * time_step
+    x_pad = np.pad(x, (0, max(ext - len(x), 0)))
+    starts = np.clip(
+        np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x_pad) - ext, 0)
+    )
+    frames_ext = jnp.asarray(x_pad[starts[:, None] + np.arange(ext)[None, :]])
+    r, local_peak = _forward_crosscorr(frames_ext, win_len, max_lag)
+    r = np.asarray(r)
+    local_peak = np.asarray(local_peak)
+
+    lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))  # ≤10×floor
+    # Peak of r in (lag_min, max_lag]; require a genuine local maximum.
+    band = r[:, lag_min : max_lag + 1]
+    r_best = band.max(axis=1)
+    # Parabolic refinement around the argmax.
+    idx = band.argmax(axis=1) + lag_min
+    valid_idx = (idx > 0) & (idx < r.shape[1] - 1)
+    il = np.clip(idx - 1, 0, r.shape[1] - 1)
+    ir = np.clip(idx + 1, 0, r.shape[1] - 1)
+    rows = np.arange(len(idx))
+    dl = r[rows, idx] - r[rows, il]
+    dr_ = r[rows, idx] - r[rows, ir]
+    denom = dl + dr_
+    bump = np.where((denom > 0) & valid_idx, 0.125 * (dl - dr_) ** 2 / np.maximum(denom, 1e-12), 0.0)
+    r_best = np.minimum(r_best + bump, 0.999999999)
+
+    global_peak = np.max(np.abs(x - x.mean())) or 1e-30
+    silent = local_peak < silence_threshold * global_peak
+    undefined = silent | (r_best <= 0)
+    hnr = np.where(
+        undefined, np.nan, 10.0 * np.log10(np.maximum(r_best, 1e-12) / np.maximum(1.0 - r_best, 1e-12))
+    )
+    return HarmonicityContour(centers, hnr)

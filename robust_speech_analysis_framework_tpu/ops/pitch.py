@@ -1,0 +1,404 @@
+"""Fundamental-frequency analysis: Boersma's autocorrelation method.
+
+TPU-native replacement for Praat's ``Sound: To Pitch (ac)...`` /
+``To Pitch (cc)...`` (used throughout the reference's MSHDS extractor:
+src/mshds_extractor.py:104,143,178,270,320,355). Implements the method of
+Boersma (1993) "Accurate short-term analysis of the fundamental frequency
+and the harmonics-to-noise ratio of a sampled sound":
+
+1. frames centered on Praat's symmetric grid, local mean subtracted;
+2. normalized autocorrelation of the windowed frame divided by the window's
+   own normalized autocorrelation (removes the window's taper bias) — all
+   frames at once via batched rFFT;
+3. per frame, up to ``max_candidates−1`` local maxima of r(τ) within the
+   [1/ceiling, 1/floor] lag band, parabolically interpolated, scored
+   ``R = r − octave_cost·log2(floor·τ)``, plus an unvoiced candidate scored
+   from the local/global peak ratio and the voicing/silence thresholds;
+4. Viterbi smoothing over frames (``lax.scan``) with octave-jump and
+   voiced/unvoiced transition costs (scaled by time_step/0.01 as Praat does).
+
+The whole pipeline is one jitted program per (n_samples-bucket, params);
+frame work is data-parallel, only the final Viterbi is a sequential scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PitchParams:
+    time_step: float = 0.0  # 0 → Praat default 0.75/floor
+    floor: float = 75.0
+    ceiling: float = 600.0
+    max_candidates: int = 15
+    very_accurate: bool = False
+    silence_threshold: float = 0.03
+    voicing_threshold: float = 0.45
+    octave_cost: float = 0.01
+    octave_jump_cost: float = 0.35
+    voiced_unvoiced_cost: float = 0.14
+    method: str = "ac"  # 'ac' | 'cc'
+
+    @property
+    def periods_per_window(self) -> float:
+        base = 3.0 if self.method == "ac" else 1.0
+        return base * (2.0 if self.very_accurate else 1.0)
+
+    @property
+    def dt(self) -> float:
+        return self.time_step if self.time_step > 0 else 0.75 / self.floor
+
+
+class PitchTrack(NamedTuple):
+    times: np.ndarray  # (N,) frame centers in seconds
+    f0: np.ndarray  # (N,) Hz; 0 where unvoiced
+    strength: np.ndarray  # (N,) winning candidate strength (r value)
+
+    @property
+    def voiced(self) -> np.ndarray:
+        return self.f0 > 0
+
+    def value_at_time(self, t) -> np.ndarray:
+        """Linear interpolation between voiced frames; NaN in unvoiced spans
+        (parity with parselmouth ``pitch.get_value_at_time``)."""
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        f0 = np.where(self.f0 > 0, self.f0, np.nan)
+        dt = self.times[1] - self.times[0] if len(self.times) > 1 else 1.0
+        pos = (t - self.times[0]) / dt
+        i0 = np.clip(np.floor(pos).astype(int), 0, len(f0) - 1)
+        i1 = np.clip(i0 + 1, 0, len(f0) - 1)
+        w = np.clip(pos - i0, 0.0, 1.0)
+        vals = (1 - w) * f0[i0] + w * f0[i1]
+        out_of_range = (t < self.times[0]) | (t > self.times[-1])
+        vals = np.where(out_of_range, np.nan, vals)
+        return vals if vals.shape != (1,) else vals[0]
+
+    # --- summary statistics (Praat "Get mean/standard deviation") ---------
+
+    def mean_hz(self) -> float:
+        v = self.f0[self.f0 > 0]
+        return float(v.mean()) if v.size else float("nan")
+
+    def std_semitones(self) -> float:
+        """Std of the track on a 12·log2 scale (Praat 'semitones' units)."""
+        v = self.f0[self.f0 > 0]
+        if v.size < 2:
+            return float("nan")
+        st = 12.0 * np.log2(v / 100.0)
+        return float(st.std(ddof=1))
+
+
+def praat_frame_grid(
+    n_samples: int, sr: float, window_s: float, dt: float
+) -> Tuple[int, float]:
+    """Praat's symmetric short-term analysis grid.
+
+    Returns (n_frames, first_center_time): frames of ``window_s`` seconds
+    every ``dt``, centered so the leftover duration is split equally at both
+    ends (Praat Sampled_shortTermAnalysis).
+    """
+    duration = n_samples / sr
+    n = int(math.floor((duration - window_s) / dt)) + 1
+    if n < 1:
+        return 0, duration / 2
+    mid = duration / 2
+    first = mid - ((n - 1) * dt) / 2
+    return n, first
+
+
+def _window_and_norm_ac(win: np.ndarray, n_fft: int) -> np.ndarray:
+    spec = np.fft.rfft(win, n_fft)
+    ac = np.fft.irfft(spec * np.conj(spec), n_fft)
+    return ac / ac[0]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _normalized_autocorr(
+    frames: jnp.ndarray, n_fft: int, max_lag: int, window_kind: str
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Boersma step: r(τ) of windowed, mean-subtracted frames, divided by the
+    window's own autocorrelation. Returns (r[(N, max_lag+1)], local_peak[N])."""
+    n = frames.shape[-1]
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    local_peak = jnp.max(jnp.abs(frames), axis=-1)
+    if window_kind == "hanning":
+        k = np.arange(n)
+        win = (0.5 - 0.5 * np.cos(2 * np.pi * (k + 1) / (n + 1))).astype(np.float64)
+    else:  # gaussian (very accurate mode)
+        k = np.arange(n) - (n - 1) / 2
+        win = np.exp(-48.0 * (k / n) ** 2).astype(np.float64)
+    w = jnp.asarray(win, frames.dtype)
+    xw = frames * w
+    spec = jnp.fft.rfft(xw, n_fft)
+    ac = jnp.fft.irfft(spec * jnp.conj(spec).astype(spec.dtype), n_fft)
+    r = ac[..., : max_lag + 1] / jnp.maximum(ac[..., :1], 1e-30)
+    r_w = jnp.asarray(_window_and_norm_ac(win, n_fft)[: max_lag + 1], frames.dtype)
+    r = r / jnp.maximum(r_w, 1e-12)
+    return r, local_peak
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _find_candidates(
+    r: jnp.ndarray,
+    local_peak: jnp.ndarray,
+    sr: float,
+    params_tuple: tuple,
+    max_cands: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top pitch candidates per frame.
+
+    Returns (freqs (N, C), strengths (N, C)); slot 0 is the unvoiced
+    candidate with frequency 0.
+    """
+    (floor, ceiling, silence_t, voicing_t, octave_c, global_peak) = params_tuple
+    n_frames, n_lags = r.shape
+    lag_min = int(math.floor(sr / ceiling))
+    lag_max = int(math.ceil(sr / floor))
+    lag_max = min(lag_max, n_lags - 2)
+
+    lags = jnp.arange(n_lags)
+    prev_r = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+    next_r = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+    is_max = (r > prev_r) & (r >= next_r)
+    in_band = (lags[None, :] >= max(lag_min, 2)) & (lags[None, :] <= lag_max)
+    valid = is_max & in_band & (r > 0.0)
+
+    # Parabolic interpolation of each local maximum.
+    dr = 0.5 * (next_r - prev_r)
+    d2 = jnp.maximum(2.0 * r - prev_r - next_r, 1e-12)
+    delta = jnp.clip(dr / d2, -0.5, 0.5)
+    tau = (lags[None, :] + delta) / sr
+    r_peak = r + 0.5 * dr * delta
+    r_peak = jnp.minimum(r_peak, 1.0)
+    freq = 1.0 / jnp.maximum(tau, 1e-9)
+    strength = r_peak - octave_c * jnp.log2(jnp.maximum(floor * tau, 1e-12))
+    strength = jnp.where(valid, strength, -jnp.inf)
+
+    k = max_cands - 1
+    top_strength, top_idx = jax.lax.top_k(strength, k)
+    top_freq = jnp.take_along_axis(freq, top_idx, axis=1)
+    top_r = jnp.take_along_axis(r_peak, top_idx, axis=1)
+    keep = jnp.isfinite(top_strength)
+    top_freq = jnp.where(keep, top_freq, 0.0)
+    top_strength = jnp.where(keep, top_strength, -1e30)
+    top_r = jnp.where(keep, top_r, 0.0)
+
+    # Unvoiced candidate (Boersma eq. 23).
+    peak_ratio = local_peak / jnp.maximum(global_peak, 1e-30)
+    unvoiced_strength = voicing_t + jnp.maximum(
+        0.0, 2.0 - peak_ratio / (silence_t / (1.0 + voicing_t))
+    )
+    freqs = jnp.concatenate([jnp.zeros((n_frames, 1)), top_freq], axis=1)
+    strengths = jnp.concatenate([unvoiced_strength[:, None], top_strength], axis=1)
+    rvals = jnp.concatenate([jnp.zeros((n_frames, 1)), top_r], axis=1)
+    return freqs, strengths, rvals
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _viterbi(
+    freqs: jnp.ndarray,
+    strengths: jnp.ndarray,
+    trans_scale: jnp.ndarray,
+    costs: tuple,
+) -> jnp.ndarray:
+    """Minimum-cost path over per-frame candidates. Returns chosen index per
+    frame. costs = (octave_jump_cost, voiced_unvoiced_cost)."""
+    jump_c, vuv_c = costs
+    n_frames, n_cands = freqs.shape
+
+    voiced = freqs > 0
+    safe_f = jnp.where(voiced, freqs, 1.0)
+
+    def transition(f_prev, v_prev, f_cur, v_cur):
+        both_voiced = v_prev[:, None] & v_cur[None, :]
+        same_voicing = v_prev[:, None] == v_cur[None, :]
+        jump = jnp.abs(jnp.log2(f_prev[:, None] / f_cur[None, :]))
+        cost = jnp.where(
+            both_voiced,
+            jump_c * jump,
+            jnp.where(same_voicing, 0.0, vuv_c),  # u→u free, v↔u penalized
+        )
+        return cost * trans_scale
+
+    def step(carry, inputs):
+        prev_cost, prev_f, prev_v = carry
+        s, f, v = inputs
+        trans = transition(prev_f, prev_v, f, v)
+        total = prev_cost[:, None] + trans  # (prev, cur)
+        best_prev = jnp.argmin(total, axis=0)
+        cost = jnp.min(total, axis=0) - s
+        return (cost, f, v), best_prev
+
+    init = (-strengths[0], safe_f[0], voiced[0])
+    (final_cost, _, _), backptrs = jax.lax.scan(
+        step, init, (strengths[1:], safe_f[1:], voiced[1:])
+    )
+
+    last = jnp.argmin(final_cost)
+
+    def back_step(idx, ptrs):
+        return ptrs[idx], idx
+
+    _, path_rev = jax.lax.scan(back_step, last, backptrs, reverse=True)
+    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+    return path
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _forward_crosscorr(
+    frames_ext: jnp.ndarray, win_len: int, max_lag: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized forward cross-correlation (Praat cc method).
+
+    ``frames_ext`` is (N, win_len + max_lag); r(τ) correlates the leading
+    ``win_len`` samples against the segment shifted by τ, normalized by both
+    segment energies.
+    """
+    frames_ext = frames_ext - jnp.mean(
+        frames_ext[:, :win_len], axis=-1, keepdims=True
+    )
+    base = frames_ext[:, :win_len]
+    local_peak = jnp.max(jnp.abs(base), axis=-1)
+    n_ext = frames_ext.shape[-1]
+    n_fft = 1 << int(np.ceil(np.log2(2 * n_ext)))
+    f_base = jnp.fft.rfft(base, n_fft)
+    f_ext = jnp.fft.rfft(frames_ext, n_fft)
+    corr = jnp.fft.irfft(jnp.conj(f_base) * f_ext, n_fft)[:, : max_lag + 1]
+    e_base = jnp.sum(base * base, axis=-1, keepdims=True)
+    csum = jnp.cumsum(frames_ext * frames_ext, axis=-1)
+    zero = jnp.zeros_like(csum[:, :1])
+    csum = jnp.concatenate([zero, csum], axis=-1)
+    lags = jnp.arange(max_lag + 1)
+    e_lag = csum[:, lags + win_len] - csum[:, lags]
+    r = corr / jnp.sqrt(jnp.maximum(e_base * e_lag, 1e-30))
+    return r, local_peak
+
+
+def _pitch_track(x: np.ndarray, sr: float, params: PitchParams) -> PitchTrack:
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    dt = params.dt
+    window_s = params.periods_per_window / params.floor
+    n_frames, t0 = praat_frame_grid(len(x), sr, window_s, dt)
+    if n_frames < 1:
+        return PitchTrack(np.zeros(0), np.zeros(0), np.zeros(0))
+
+    win_len = int(round(window_s * sr))
+    max_lag = int(math.ceil(sr / params.floor)) + 2
+    n_fft = 1 << int(np.ceil(np.log2(win_len + max_lag + 1)))
+
+    centers = t0 + np.arange(n_frames) * dt
+    global_peak = float(np.max(np.abs(x - x.mean()))) or 1e-30
+
+    if params.method == "cc":
+        ext = win_len + max_lag
+        starts = np.clip(
+            np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - ext, 0)
+        )
+        x_pad = np.pad(x, (0, max(ext - len(x), 0)))
+        frames_ext = jnp.asarray(x_pad[starts[:, None] + np.arange(ext)[None, :]])
+        r, local_peak = _forward_crosscorr(frames_ext, win_len, max_lag)
+    else:
+        starts = np.clip(
+            np.round(centers * sr - win_len / 2).astype(int),
+            0,
+            max(len(x) - win_len, 0),
+        )
+        frames = jnp.asarray(x[starts[:, None] + np.arange(win_len)[None, :]])
+        window_kind = "gaussian" if params.very_accurate else "hanning"
+        r, local_peak = _normalized_autocorr(frames, n_fft, max_lag, window_kind)
+    freqs, strengths, rvals = _find_candidates(
+        r,
+        local_peak,
+        float(sr),
+        (
+            float(params.floor),
+            float(params.ceiling),
+            float(params.silence_threshold),
+            float(params.voicing_threshold),
+            float(params.octave_cost),
+            global_peak,
+        ),
+        params.max_candidates,
+    )
+    # Drop voiced candidates above the ceiling.
+    over = (freqs > params.ceiling)
+    strengths = jnp.where(over, -1e30, strengths)
+
+    trans_scale = jnp.asarray(dt / 0.01)  # Praat cost normalization
+    path = _viterbi(
+        freqs,
+        strengths,
+        trans_scale,
+        (float(params.octave_jump_cost), float(params.voiced_unvoiced_cost)),
+    )
+    idx = np.asarray(path)
+    f0 = np.asarray(freqs)[np.arange(n_frames), idx]
+    st = np.asarray(rvals)[np.arange(n_frames), idx]
+    return PitchTrack(centers, f0, st)
+
+
+def pitch_track_ac(
+    x: np.ndarray,
+    sr: float,
+    time_step: float = 0.0,
+    floor: float = 75.0,
+    ceiling: float = 600.0,
+    max_candidates: int = 15,
+    very_accurate: bool = False,
+    silence_threshold: float = 0.03,
+    voicing_threshold: float = 0.45,
+    octave_cost: float = 0.01,
+    octave_jump_cost: float = 0.35,
+    voiced_unvoiced_cost: float = 0.14,
+) -> PitchTrack:
+    """Praat ``To Pitch (ac)...`` equivalent (argument order matches the
+    Praat command as called at src/mshds_extractor.py:104)."""
+    return _pitch_track(
+        x,
+        sr,
+        PitchParams(
+            time_step=time_step,
+            floor=floor,
+            ceiling=ceiling,
+            max_candidates=max_candidates,
+            very_accurate=very_accurate,
+            silence_threshold=silence_threshold,
+            voicing_threshold=voicing_threshold,
+            octave_cost=octave_cost,
+            octave_jump_cost=octave_jump_cost,
+            voiced_unvoiced_cost=voiced_unvoiced_cost,
+            method="ac",
+        ),
+    )
+
+
+def pitch_track_cc(
+    x: np.ndarray,
+    sr: float,
+    time_step: float = 0.0,
+    floor: float = 75.0,
+    ceiling: float = 600.0,
+    **kwargs,
+) -> PitchTrack:
+    """Praat ``To Pitch (cc)...`` equivalent (1-period window forward
+    cross-correlation approximated with the same normalized-AC machinery on
+    a shorter window; used for pulse marking at src/mshds_extractor.py:320)."""
+    return _pitch_track(
+        x,
+        sr,
+        PitchParams(
+            time_step=time_step,
+            floor=floor,
+            ceiling=ceiling,
+            method="cc",
+            **kwargs,
+        ),
+    )

@@ -1,0 +1,108 @@
+"""Spectrogram and spectral-moment analysis (Praat semantics).
+
+Replaces the Praat path of the reference's spectral-moment features
+(src/mshds_extractor.py:355-369): Gaussian-window spectrogram (physical
+window 2× the nominal length, as Praat documents), per-frame power spectrum,
+and the first four moments of the power distribution (power=2): centre of
+gravity, standard deviation, skewness, kurtosis.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pitch import praat_frame_grid
+
+
+class SpectrogramFrames(NamedTuple):
+    times: np.ndarray  # (N,)
+    freqs: np.ndarray  # (F,)
+    power: np.ndarray  # (N, F)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _power_frames(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    spec = jnp.fft.rfft(frames, n_fft)
+    return jnp.real(spec * jnp.conj(spec))
+
+
+def spectrogram(
+    x: np.ndarray,
+    sr: float,
+    window_length: float = 0.025,
+    time_step: float = 0.005,
+    max_frequency: float = None,
+) -> SpectrogramFrames:
+    """Gaussian-window spectrogram on the Praat grid."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    phys = 2.0 * window_length
+    n_frames, t0 = praat_frame_grid(len(x), sr, phys, time_step)
+    win_len = int(round(phys * sr))
+    if n_frames < 1:
+        return SpectrogramFrames(np.zeros(0), np.zeros(0), np.zeros((0, 0)))
+    k = np.arange(win_len) - (win_len - 1) / 2
+    window = (np.exp(-48.0 * (k / win_len) ** 2) - math.exp(-12.0)) / (
+        1.0 - math.exp(-12.0)
+    )
+    centers = t0 + np.arange(n_frames) * time_step
+    starts = np.clip(
+        np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
+    )
+    frames = x[starts[:, None] + np.arange(win_len)[None, :]] * window
+    n_fft = 1 << int(np.ceil(np.log2(win_len)))
+    power = np.asarray(_power_frames(jnp.asarray(frames), n_fft))
+    freqs = np.arange(n_fft // 2 + 1) * sr / n_fft
+    if max_frequency:
+        keep = freqs <= max_frequency
+        freqs, power = freqs[keep], power[:, keep]
+    return SpectrogramFrames(centers, freqs, power)
+
+
+def spectral_moments(
+    power: np.ndarray, freqs: np.ndarray, power_exponent: float = 2.0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-frame (gravity, std, skewness, kurtosis) of |S|^power_exponent.
+
+    ``power`` is already |S|²; Praat's ``power=2`` option means moments are
+    taken over |S|² — i.e. this array used as the weighting directly.
+    """
+    w = power if power_exponent == 2.0 else np.power(
+        np.maximum(power, 0.0), power_exponent / 2.0
+    )
+    total = w.sum(axis=1)
+    total = np.where(total > 0, total, np.nan)
+    g = (w * freqs[None, :]).sum(axis=1) / total
+    d = freqs[None, :] - g[:, None]
+    var = (w * d**2).sum(axis=1) / total
+    std = np.sqrt(var)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        skew = (w * d**3).sum(axis=1) / (total * std**3)
+        kurt = (w * d**4).sum(axis=1) / (total * var**2) - 3.0
+    return g, std, skew, kurt
+
+
+def voiced_mean_moments(
+    x: np.ndarray,
+    sr: float,
+    voiced_at,  # callable t -> bool array (e.g. PitchTrack-based)
+    window_length: float = 0.025,
+    time_step: float = 0.005,
+) -> Tuple[float, float, float, float]:
+    """Mean of per-frame spectral moments over voiced frames only
+    (reference behavior, src/mshds_extractor.py:361-369)."""
+    sg = spectrogram(x, sr, window_length, time_step)
+    if len(sg.times) == 0:
+        return (float("nan"),) * 4
+    g, s, sk, ku = spectral_moments(sg.power, sg.freqs)
+    voiced = np.asarray(voiced_at(sg.times), dtype=bool)
+    out = []
+    for v in (g, s, sk, ku):
+        vv = v[voiced & np.isfinite(v)]
+        out.append(float(vv.mean()) if vv.size else float("nan"))
+    return tuple(out)

@@ -1,0 +1,87 @@
+"""MSHDS extractor end-to-end tests on synthetic speech-like audio."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from robust_speech_analysis_framework_tpu.features.mshds import (
+    FEATURE_NAMES,
+    extract_mshds_features,
+    extract_mshds_single,
+    speaker_pitch_range,
+)
+
+SR = 16000
+
+
+def _speechlike(f0_base=120.0, seconds_v=0.35, n_bursts=5, seed=0):
+    rng = np.random.default_rng(seed)
+    parts = []
+    for i in range(n_bursts):
+        t = np.arange(int(seconds_v * SR)) / SR
+        f0 = f0_base + 8 * i
+        v = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 12))
+        env = np.minimum(1, 12 * np.minimum(t, seconds_v - t))
+        parts.append(0.3 * env * v / np.abs(v).max())
+        parts.append(np.zeros(int((0.4 if i % 2 == 0 else 0.15) * SR)))
+    x = np.concatenate(parts)
+    return x + 0.001 * rng.normal(size=len(x))
+
+
+@pytest.fixture(scope="module")
+def speech():
+    return _speechlike()
+
+
+@pytest.fixture(scope="module")
+def feats(speech):
+    return extract_mshds_single(speech, SR)
+
+
+def test_all_features_present_and_finite(feats):
+    assert set(feats) == set(FEATURE_NAMES)
+    finite = {k: np.isfinite(v) for k, v in feats.items()}
+    assert all(finite.values()), {k for k, ok in finite.items() if not ok}
+
+
+def test_feature_plausibility(feats):
+    assert 100 < feats["mean_F0"] < 200
+    assert 0 < feats["stdev_F0_Semitone"] < 6
+    assert 50 < feats["mean_dB"] < 90
+    assert feats["HNR_dB"] > 5
+    assert 0.3 < feats["Phonation_Ratio"] < 1.0
+    assert 0 < feats["Speaking_Rate"] < 8
+    assert feats["Articulation_Rate"] >= feats["Speaking_Rate"]
+    assert feats["Cepstral_Peak_Prominence"] > 4
+    assert 100 < feats["Spectral_Gravity"] < 2000
+    assert 100 < feats["mean_F1_Loc"] < 1200
+
+
+def test_speaker_pitch_range():
+    low = _speechlike(f0_base=110)
+    hi = _speechlike(f0_base=230)
+    assert speaker_pitch_range(low, SR) == (60, 250)
+    assert speaker_pitch_range(hi, SR) == (100, 500)
+    assert speaker_pitch_range(np.zeros(SR), SR) == (75, 500)
+
+
+def test_dataframe_front_door(tmp_path, speech):
+    from robust_speech_analysis_framework_tpu.audio.io import write_wav
+
+    p = tmp_path / "01_CF56_1.wav"
+    write_wav(str(p), speech, SR)
+    df_in = pd.DataFrame({"filepath": [str(p), str(tmp_path / "missing.wav")]})
+    out = extract_mshds_features(df_in, verbose=False)
+    assert out.shape == (2, 26)
+    assert list(out.columns) == ["filename"] + FEATURE_NAMES
+    assert np.isfinite(out.iloc[0]["mean_F0"])
+    # missing file → NaN row, not a crash (reference :450-457)
+    assert out.iloc[1][FEATURE_NAMES].isna().all()
+
+
+def test_waveform_injection(speech):
+    df_in = pd.DataFrame({"filepath": ["/nonexistent/a.wav"]})
+    out = extract_mshds_features(
+        df_in, verbose=False, waveforms={"a.wav": speech}
+    )
+    assert np.isfinite(out.iloc[0]["mean_F0"])

@@ -1,0 +1,100 @@
+"""Pitch/intensity/harmonicity op tests on synthetic signals."""
+
+import numpy as np
+import pytest
+
+from robust_speech_analysis_framework_tpu.ops.pitch import (
+    pitch_track_ac,
+    pitch_track_cc,
+    praat_frame_grid,
+)
+from robust_speech_analysis_framework_tpu.ops.intensity import intensity_contour
+from robust_speech_analysis_framework_tpu.ops.harmonicity import harmonicity_cc
+
+SR = 16000
+
+
+def harmonic(f0, seconds=0.8, n_harm=9, sr=SR):
+    t = np.arange(int(seconds * sr)) / sr
+    x = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, n_harm))
+    return (x / np.abs(x).max()).astype(np.float64)
+
+
+def test_frame_grid_symmetric():
+    n, t0 = praat_frame_grid(16000, 16000.0, 0.04, 0.01)
+    assert n == 97
+    # symmetric: centers span [t0, t0+(n-1)*dt] centered in [0, 1]
+    assert t0 + (n - 1) * 0.01 + t0 == pytest.approx(1.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("f0", [100.0, 150.0, 220.0, 330.0])
+def test_ac_pitch_accuracy(f0):
+    pt = pitch_track_ac(harmonic(f0), SR, time_step=0.01, floor=75, ceiling=500)
+    v = pt.f0[pt.f0 > 0]
+    assert len(v) > 0.9 * len(pt.f0)
+    assert abs(np.median(v) - f0) / f0 < 0.01
+
+
+def test_cc_pitch_accuracy():
+    pt = pitch_track_cc(harmonic(180.0), SR, time_step=0.01, floor=75, ceiling=500)
+    v = pt.f0[pt.f0 > 0]
+    assert abs(np.median(v) - 180.0) / 180.0 < 0.01
+
+
+def test_noise_is_unvoiced():
+    rng = np.random.default_rng(0)
+    pt = pitch_track_ac(rng.normal(size=SR), SR, time_step=0.01, floor=75, ceiling=500)
+    assert (pt.f0 > 0).mean() < 0.1
+
+
+def test_silence_tone_boundary():
+    x = np.concatenate([np.zeros(SR // 2), 0.5 * harmonic(150, 0.5)])
+    pt = pitch_track_ac(x, SR, time_step=0.01, floor=75, ceiling=500)
+    first_half = pt.f0[pt.times < 0.45]
+    second_half = pt.f0[pt.times > 0.55]
+    assert (first_half > 0).mean() < 0.1
+    assert (second_half > 0).mean() > 0.8
+
+
+def test_pitch_summary_stats():
+    pt = pitch_track_ac(harmonic(150), SR, time_step=0.01, floor=75, ceiling=500)
+    assert pt.mean_hz() == pytest.approx(150.0, rel=0.01)
+    assert pt.std_semitones() < 0.2
+    # value_at_time interpolation
+    assert pt.value_at_time(0.4) == pytest.approx(150.0, rel=0.02)
+    assert np.isnan(pt.value_at_time(-1.0))
+
+
+def test_intensity_absolute_level():
+    t = np.arange(SR) / SR
+    x = 0.1 * np.sin(2 * np.pi * 1000 * t)
+    ic = intensity_contour(x, SR, minimum_pitch=100, time_step=0.005)
+    expected = 10 * np.log10((0.1**2 / 2) / 4e-10)
+    assert ic.mean_db() == pytest.approx(expected, abs=0.05)
+    assert ic.mean_energy_db() == pytest.approx(expected, abs=0.05)
+    assert ic.max_db() >= ic.min_db()
+    assert ic.quantile(0.5) == pytest.approx(expected, abs=0.1)
+
+
+def test_intensity_contrast():
+    t = np.arange(SR) / SR
+    x = np.sin(2 * np.pi * 500 * t) * np.where(t < 0.5, 0.01, 0.3)
+    ic = intensity_contour(x, SR, minimum_pitch=100, time_step=0.01)
+    assert ic.max_db() - ic.min_db() > 20
+
+
+def test_hnr_orders():
+    clean = harmonic(150)
+    rng = np.random.default_rng(1)
+    noisy = clean + 0.1 * rng.normal(size=len(clean))
+    h_clean = harmonicity_cc(clean, SR, 0.005, 75).mean_db()
+    h_noisy = harmonicity_cc(noisy, SR, 0.005, 75).mean_db()
+    assert h_clean > 30
+    assert 5 < h_noisy < h_clean
+
+
+def test_hnr_silence_undefined():
+    x = np.concatenate([np.zeros(SR // 2), harmonic(150, 0.5)])
+    h = harmonicity_cc(x, SR, 0.005, 75)
+    early = h.hnr_db[h.times < 0.4]
+    assert np.isnan(early).mean() > 0.8
