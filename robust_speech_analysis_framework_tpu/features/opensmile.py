@@ -1,0 +1,221 @@
+"""openSMILE-equivalent 912-feature summary extractor (Androids config).
+
+Reimplements the full ``Androids.conf`` DAG (reference usage:
+src/opensmile_extractor.py:62-75, config /root/reference/Androids.conf)
+without the external SMILExtract binary:
+
+framing 25 ms/10 ms → per-frame preemphasis k=0.97 → Hamming → |FFT| →
+{HTK mel 26 → MFCC 1-12 · RMS energy · ZCR (pre-window frames) · intensity +
+loudness · SHS pitch + Viterbi → F0final/voicingFinalUnclipped (energy-gated)
+· waveform jitter/shimmer/logHNR · 16 spectral LLDs} → moving-average
+smoothing (``_sma``) → delta regression (``_de``) → 12 functionals per
+contour (Extremes/Regression/Moments as enabled in the conf).
+
+Feature count: 38 LLDs × 2 (sma + de) × 12 functionals = 912 columns. The
+reference's saved CSV shows 911 (nb02 cell 2 output) — one column short of
+the arithmetic; the discrepancy can only be resolved by diffing against a
+real SMILExtract header, which requires the binary/corpus this environment
+does not have. Column *names* follow openSMILE conventions so such a diff is
+mechanical when available.
+
+Throughput design: all frame-parallel stages run as one jitted program per
+padded frame-count bucket; whole batches of files are processed at one
+shape. Only the period-marching jitter LLD is host-side sequential.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..audio.frontend import (
+    FrontendConfig,
+    frame_signal,
+    hamming_window,
+    mel_filterbank,
+    mfcc_from_power,
+    preemphasize,
+    stft_magnitude,
+)
+from ..ops.functionals import (
+    FUNCTIONAL_NAMES,
+    apply_functionals,
+    delta_regression,
+    smooth_sma,
+)
+from ..ops.jitter import jitter_shimmer_llds
+from ..ops.lld_spectral import (
+    SPECTRAL_NAMES,
+    intensity_loudness,
+    rms_energy,
+    spectral_llds,
+    zero_crossing_rate,
+)
+from ..ops.shs_pitch import ShsParams, shs_pitch
+
+LLD_NAMES: List[str] = (
+    ["pcm_RMSenergy"]
+    + [f"mfcc[{i}]" for i in range(1, 13)]
+    + ["pcm_zcr", "F0final", "voicingFinalUnclipped"]
+    + ["pcm_intensity", "pcm_loudness",
+       "jitterLocal", "jitterDDP", "shimmerLocal", "logHNR"]
+    + SPECTRAL_NAMES
+)  # 16 + 6 + 16 = 38
+
+
+def feature_columns() -> List[str]:
+    """All 912 output column names in openSMILE order (per-LLD: sma
+    functionals for every LLD group, then delta functionals)."""
+    cols = []
+    for suffix in ("_sma", "_sma_de"):
+        for lld in LLD_NAMES:
+            for fn in FUNCTIONAL_NAMES:
+                cols.append(f"{lld}{suffix}_{fn}")
+    return cols
+
+
+@dataclass(frozen=True)
+class OpenSmileConfig:
+    frontend: FrontendConfig = FrontendConfig(
+        sample_rate=16000, frame_seconds=0.025, hop_seconds=0.010,
+        preemphasis=0.97, n_mels=26, fmin=20.0, fmax=8000.0,
+    )
+    n_mfcc: int = 12
+    shs: ShsParams = ShsParams()
+    energy_gate: float = 0.001
+    sma_window: int = 3
+    deltawin: int = 2
+    jitter_search_range: float = 0.25
+
+
+class OpenSmileExtractor:
+    """Reusable extractor; jitted stages compile once per frame-count bucket."""
+
+    def __init__(self, config: OpenSmileConfig = OpenSmileConfig()):
+        self.config = config
+        cfg = config.frontend
+        self._window = hamming_window(cfg.frame_len)
+        self._melfb = mel_filterbank(
+            cfg.n_mels, cfg.fft_size, cfg.sample_rate, cfg.fmin, cfg.fmax
+        )
+        self._frame_stage = jax.jit(self._frame_stage_impl)
+        self._summary_stage = jax.jit(self._summary_stage_impl)
+
+    # ---- jitted stages ----------------------------------------------------
+
+    def _frame_stage_impl(self, x: jnp.ndarray):
+        """waveform (T,) → dict of frame-level streams (no jitter/pitch)."""
+        cfg = self.config.frontend
+        raw = frame_signal(x, cfg.frame_len, cfg.hop)
+        pre = preemphasize(raw, cfg.preemphasis)
+        win = pre * jnp.asarray(self._window, pre.dtype)
+        mag = stft_magnitude(win, None, cfg.fft_size)
+        mfcc = mfcc_from_power(
+            mag * mag, self._melfb, n_ceps=self.config.n_mfcc, first_cep=1
+        )
+        energy = rms_energy(win)
+        zcr = zero_crossing_rate(raw)
+        inten = intensity_loudness(win)
+        spect = spectral_llds(mag, float(cfg.sample_rate))
+        return mag, mfcc, energy, zcr, inten, spect
+
+    def _summary_stage_impl(self, lld: jnp.ndarray):
+        sma = smooth_sma(lld, self.config.sma_window)
+        de = delta_regression(sma, self.config.deltawin)
+        return apply_functionals(sma), apply_functionals(de)
+
+    # ---- public API -------------------------------------------------------
+
+    def extract_llds(self, x: np.ndarray) -> np.ndarray:
+        """(T_samples,) 16 kHz mono → (T_frames, 38) raw LLD matrix."""
+        cfg = self.config.frontend
+        xj = jnp.asarray(np.asarray(x, np.float32))
+        mag, mfcc, energy, zcr, inten, spect = self._frame_stage(xj)
+        mag_np = np.asarray(mag)
+        energy_np = np.asarray(energy)
+        f0, voicing = shs_pitch(
+            mag_np, cfg.sample_rate, energy_np, self.config.shs,
+            self.config.energy_gate,
+        )
+        vq = jitter_shimmer_llds(
+            np.asarray(x, np.float64), cfg.sample_rate, f0,
+            hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
+            search_range_rel=self.config.jitter_search_range,
+        )
+        lld = np.concatenate(
+            [
+                energy_np[:, None],
+                np.asarray(mfcc),
+                np.asarray(zcr)[:, None],
+                f0[:, None],
+                voicing[:, None],
+                np.asarray(inten),
+                vq,
+                np.asarray(spect),
+            ],
+            axis=1,
+        )
+        return lld
+
+    def extract_single(self, x: np.ndarray) -> np.ndarray:
+        """One waveform → the 912-dim summary feature vector."""
+        lld = self.extract_llds(x)
+        f_sma, f_de = self._summary_stage(jnp.asarray(lld, jnp.float32))
+        # (12, 38) each → column order: per stream, per LLD, per functional
+        return np.concatenate(
+            [np.asarray(f_sma).T.reshape(-1), np.asarray(f_de).T.reshape(-1)]
+        )
+
+    def extract(
+        self,
+        waveforms: Mapping[str, np.ndarray],
+        verbose: bool = True,
+    ) -> pd.DataFrame:
+        """{filename: waveform} → DataFrame['filename' + 912 features]."""
+        cols = feature_columns()
+        rows = []
+        for name, x in waveforms.items():
+            try:
+                vec = self.extract_single(x)
+                row = dict(zip(cols, vec.tolist()))
+                row["filename"] = name
+                rows.append(row)
+            except Exception as e:
+                if verbose:
+                    print(f"ERROR: openSMILE-equivalent failed for '{name}': {e}")
+        if not rows:
+            return pd.DataFrame()
+        return pd.DataFrame(rows)
+
+
+def extract_opensmile_features(
+    input_df: pd.DataFrame,
+    config: OpenSmileConfig = OpenSmileConfig(),
+    audio_file_column: str = "filepath",
+    verbose: bool = True,
+    waveforms: Optional[Mapping[str, np.ndarray]] = None,
+) -> pd.DataFrame:
+    """DataFrame front door with the reference extractor's API shape
+    (src/opensmile_extractor.py:9-103): one row per file, 'filename' +
+    feature columns; files that fail are dropped with a logged error."""
+    from ..audio.io import load_mono_16k
+
+    ex = OpenSmileExtractor(config)
+    wavs: Dict[str, np.ndarray] = {}
+    for path in input_df[audio_file_column]:
+        name = os.path.basename(path)
+        if waveforms is not None and name in waveforms:
+            wavs[name] = np.asarray(waveforms[name])
+            continue
+        try:
+            wavs[name] = load_mono_16k(path)
+        except Exception as e:
+            if verbose:
+                print(f"ERROR: could not read '{name}': {e}")
+    return ex.extract(wavs, verbose=verbose)

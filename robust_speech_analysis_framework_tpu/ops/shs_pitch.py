@@ -1,0 +1,258 @@
+"""Subharmonic-summation pitch with Viterbi smoothing (openSMILE chain).
+
+Implements the Androids pitch chain (Androids.conf:142-227):
+
+* ``cSpecScale`` — magnitude spectrum interpolated onto an octave (log2)
+  frequency grid from minF=25 Hz, with spectral smoothing and peak
+  enhancement (:142-159);
+* ``cPitchShs`` — subharmonic summation (Hermes 1988): on the octave grid a
+  harmonic shift is a constant offset, so H(s) = Σ_h c^{h−1}·S(s + log2 h)
+  is a sum of shifted copies; greedy peak picking yields up to 6 candidates
+  in [52, 620] Hz with normalized scores and a voicing measure (:161-186);
+* ``cPitchSmootherViterbi`` — candidate-level Viterbi with the configured
+  weights (wTvv, wTvvd, wTvuv, wThr, wTuu, wLocal, wRange; :190-213),
+  emitting F0final and voicingFinalUnclipped;
+* ``cValbasedSelector`` — F0 zeroed where frame RMS energy < 0.001 (:216-227).
+
+Spectral work is batched JAX; the Viterbi is a ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ShsParams(NamedTuple):
+    min_pitch: float = 52.0
+    max_pitch: float = 620.0
+    n_candidates: int = 6
+    n_harmonics: int = 15
+    compression: float = 0.85
+    voicing_cutoff: float = 0.70
+    min_f_scale: float = 25.0
+    # Viterbi weights (cPitchSmootherViterbi defaults from Androids.conf)
+    w_tvv: float = 10.0
+    w_tvvd: float = 5.0
+    w_tvuv: float = 10.0
+    w_thr: float = 4.0
+    w_tuu: float = 0.0
+    w_local: float = 2.0
+    w_range: float = 1.0
+
+
+def octave_grid(sr: float, min_f: float, n_points: int) -> Tuple[float, float]:
+    """(log2_min, dlog) of the octave-scale grid spanning [min_f, sr/2]."""
+    log_min = math.log2(min_f)
+    log_max = math.log2(sr / 2.0)
+    return log_min, (log_max - log_min) / (n_points - 1)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def octave_scale_spectrum(
+    mag: jnp.ndarray, sr: float, min_f: float, n_points: int
+) -> jnp.ndarray:
+    """Interpolate (T, F) magnitude onto a log2-frequency grid.
+
+    Grid point i sits at frequency 2^(log2_min + i·dlog) per
+    :func:`octave_grid`. Includes openSMILE's smoothing (3-point moving
+    average) and peak enhancement (subtract local average, clip ≥0).
+    """
+    t, n_bins = mag.shape
+    freqs = np.arange(n_bins) * (sr / 2.0) / (n_bins - 1)
+    log_min, dlog = octave_grid(sr, min_f, n_points)
+    grid_f = 2.0 ** (log_min + np.arange(n_points) * dlog)
+    # linear interpolation indices
+    pos = np.interp(grid_f, freqs, np.arange(n_bins))
+    i0 = np.clip(pos.astype(int), 0, n_bins - 2)
+    w = jnp.asarray(pos - i0)
+    i0 = jnp.asarray(i0)
+    s = mag[:, i0] * (1 - w)[None, :] + mag[:, i0 + 1] * w[None, :]
+    # smoothing: centered 3-point moving average
+    sm = (
+        jnp.concatenate([s[:, :1], s[:, :-1]], axis=1)
+        + s
+        + jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+    ) / 3.0
+    # peak enhancement: subtract a wide local average, clip at zero
+    k = 9
+    pad = k // 2
+    padded = jnp.pad(sm, ((0, 0), (pad, pad)), mode="edge")
+    csum = jnp.cumsum(padded, axis=1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
+    local_avg = (csum[:, k:] - csum[:, :-k]) / k
+    return jnp.maximum(sm - local_avg, 0.0)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def shs_candidates(
+    s_oct: jnp.ndarray,
+    log_min: float,
+    dlog: float,
+    n_harmonics: int,
+    compression: float,
+    n_candidates: int,
+    bounds: Tuple[float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Subharmonic summation + greedy peak picking.
+
+    Returns (freqs (T, C), scores (T, C) in [0,1]).
+    """
+    t, n = s_oct.shape
+    h_sum = jnp.zeros_like(s_oct)
+    for h in range(1, n_harmonics + 1):
+        shift = int(round(math.log2(h) / dlog))
+        shifted = jnp.pad(s_oct, ((0, 0), (0, shift)))[:, shift : shift + n]
+        h_sum = h_sum + (compression ** (h - 1)) * shifted
+
+    lo, hi = bounds
+    grid_log = log_min + jnp.arange(n) * dlog
+    in_band = (grid_log >= math.log2(lo)) & (grid_log <= math.log2(hi))
+
+    prev = jnp.concatenate([h_sum[:, :1], h_sum[:, :-1]], axis=1)
+    nxt = jnp.concatenate([h_sum[:, 1:], h_sum[:, -1:]], axis=1)
+    is_peak = (h_sum > prev) & (h_sum >= nxt) & in_band[None, :]
+    peak_vals = jnp.where(is_peak, h_sum, -jnp.inf)
+
+    top_vals, top_idx = jax.lax.top_k(peak_vals, n_candidates)
+    # parabolic refinement in grid coordinates
+    rows = jnp.arange(t)[:, None]
+    i_l = jnp.clip(top_idx - 1, 0, n - 1)
+    i_r = jnp.clip(top_idx + 1, 0, n - 1)
+    dl = top_vals - h_sum[rows, i_l]
+    dr = top_vals - h_sum[rows, i_r]
+    denom = jnp.maximum(dl + dr, 1e-12)
+    delta = jnp.clip(0.5 * (dl - dr) / denom, -0.5, 0.5)
+    log_f = log_min + (top_idx + delta) * dlog
+    freqs = 2.0**log_f
+    valid = jnp.isfinite(top_vals) & (top_vals > 0)
+    freqs = jnp.where(valid, freqs, 0.0)
+
+    # normalized candidate scores (best = 1)
+    best = jnp.maximum(top_vals[:, :1], 1e-30)
+    scores = jnp.where(valid, top_vals / best, 0.0)
+    return freqs, scores
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _voicing_from_mag(mag: jnp.ndarray, sr: float, min_pitch: float) -> jnp.ndarray:
+    """Voicing probability per frame from the normalized autocorrelation,
+    recovered from the magnitude spectrum (Wiener–Khinchin: r = irfft(|S|²)).
+    Peak of r(τ) within the pitch lag band ∈ [0, 1]; harmonic frames ≈ 0.9+,
+    noise ≲ 0.4, so openSMILE's 0.70 cutoff separates them cleanly."""
+    power = mag * mag
+    n_fft = 2 * (mag.shape[1] - 1)
+    r = jnp.fft.irfft(power, n_fft)
+    r0 = jnp.maximum(r[:, :1], 1e-30)
+    max_lag = int(sr / min_pitch)
+    band = r[:, 2 : max_lag + 1] / r0
+    return jnp.clip(jnp.max(band, axis=1), 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def viterbi_smooth(
+    freqs: jnp.ndarray,
+    scores: jnp.ndarray,
+    voicing: jnp.ndarray,
+    params: ShsParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate-level Viterbi with the openSMILE weight scheme.
+
+    States: the C voiced candidates + 1 unvoiced state. Local cost:
+    wLocal·(1−score) for voiced, wThr·(voicing−cutoff) for unvoiced (cheap
+    when voicing is low). Transitions: wTvv·|Δlog2 f| between voiced states,
+    wTvuv across voicing changes, wTuu for unvoiced runs, wRange·|log2
+    (f/median-ish center)| as a range prior. Returns (f0 (T,), voicing (T,)).
+    """
+    t, c = freqs.shape
+    center = jnp.exp(
+        jnp.sum(jnp.log(jnp.maximum(freqs[:, 0], 1.0)) * (voicing > params.voicing_cutoff))
+        / jnp.maximum(jnp.sum(voicing > params.voicing_cutoff), 1.0)
+    )
+
+    voiced_local = params.w_local * (1.0 - scores)
+    range_cost = params.w_range * jnp.abs(
+        jnp.log2(jnp.maximum(freqs, 1.0) / jnp.maximum(center, 1.0))
+    )
+    voiced_local = voiced_local + jnp.where(freqs > 0, range_cost, 1e6)
+    unvoiced_local = params.w_thr * (voicing - params.voicing_cutoff)
+
+    local = jnp.concatenate([voiced_local, unvoiced_local[:, None]], axis=1)
+    safe_f = jnp.where(freqs > 0, freqs, 1.0)
+    states_f = jnp.concatenate([safe_f, jnp.ones((t, 1))], axis=1)
+    is_voiced = jnp.concatenate(
+        [freqs > 0, jnp.zeros((t, 1), bool)], axis=1
+    )
+
+    def step(carry, inputs):
+        prev_cost, prev_f, prev_v = carry
+        loc, f, v = inputs
+        jump = jnp.abs(jnp.log2(prev_f[:, None] / f[None, :]))
+        both_voiced = prev_v[:, None] & v[None, :]
+        same = prev_v[:, None] == v[None, :]
+        trans = jnp.where(
+            both_voiced,
+            params.w_tvv * jump,
+            jnp.where(same, params.w_tuu, params.w_tvuv),
+        )
+        total = prev_cost[:, None] + trans
+        best_prev = jnp.argmin(total, axis=0)
+        cost = jnp.min(total, axis=0) + loc
+        return (cost, f, v), best_prev
+
+    init = (local[0], states_f[0], is_voiced[0])
+    (final_cost, _, _), backptrs = jax.lax.scan(
+        step, init, (local[1:], states_f[1:], is_voiced[1:])
+    )
+    last = jnp.argmin(final_cost)
+
+    def back(idx, ptrs):
+        return ptrs[idx], idx
+
+    _, path_rev = jax.lax.scan(back, last, backptrs, reverse=True)
+    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+
+    rows = jnp.arange(t)
+    chose_voiced = path < c
+    f0 = jnp.where(chose_voiced, states_f[rows, jnp.clip(path, 0, c - 1)], 0.0)
+    return f0, voicing
+
+
+def shs_pitch(
+    mag: np.ndarray,
+    sr: float,
+    frame_rms: np.ndarray,
+    params: ShsParams = ShsParams(),
+    energy_threshold: float = 0.001,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full chain: octave scale → SHS → Viterbi → energy gate.
+
+    mag: (T, F) magnitude spectrum; frame_rms: (T,) RMS energies for the
+    cValbasedSelector gate. Returns (F0final (T,), voicingFinalUnclipped (T,)).
+    """
+    mag = jnp.asarray(mag)
+    n_points = mag.shape[1]
+    log_min, dlog = octave_grid(float(sr), float(params.min_f_scale), n_points)
+    s_oct = octave_scale_spectrum(
+        mag, float(sr), float(params.min_f_scale), n_points
+    )
+    freqs, scores = shs_candidates(
+        s_oct,
+        log_min,
+        dlog,
+        params.n_harmonics,
+        params.compression,
+        params.n_candidates,
+        (params.min_pitch, params.max_pitch),
+    )
+    voicing = _voicing_from_mag(mag, float(sr), float(params.min_pitch))
+    f0, voc = viterbi_smooth(freqs, scores, voicing, params)
+    f0 = np.asarray(f0)
+    voc = np.asarray(voc)
+    gate = np.asarray(frame_rms) >= energy_threshold
+    return np.where(gate, f0, 0.0), voc

@@ -1,0 +1,142 @@
+"""openSMILE-equivalent pipeline: functionals, LLDs, SHS pitch, end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from robust_speech_analysis_framework_tpu.ops.functionals import (
+    FUNCTIONAL_NAMES,
+    apply_functionals,
+    delta_regression,
+    smooth_sma,
+)
+from robust_speech_analysis_framework_tpu.ops.lld_spectral import (
+    SPECTRAL_NAMES,
+    spectral_llds,
+    zero_crossing_rate,
+)
+from robust_speech_analysis_framework_tpu.features.opensmile import (
+    LLD_NAMES,
+    OpenSmileExtractor,
+    extract_opensmile_features,
+    feature_columns,
+)
+
+SR = 16000
+
+
+def _voiced_pulsed(seconds=2.0, f0=140.0):
+    t = np.arange(int(seconds * SR)) / SR
+    x = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 12))
+    x = 0.3 * x / np.abs(x).max()
+    return x * np.where((t % 0.7) < 0.45, 1.0, 0.02)
+
+
+def test_functional_values():
+    x = jnp.asarray(np.array([[0.0], [1.0], [2.0], [1.0], [0.0]]))
+    f = np.asarray(apply_functionals(x))[:, 0]
+    by = dict(zip(FUNCTIONAL_NAMES, f))
+    assert by["max"] == 2.0 and by["min"] == 0.0 and by["range"] == 2.0
+    assert by["maxPos"] == 2 and by["minPos"] == 0
+    assert by["amean"] == pytest.approx(0.8)
+    assert by["linregc1"] == pytest.approx(0.0, abs=1e-6)  # symmetric
+    # skewness of symmetric-ish data near 0
+    assert abs(by["skewness"]) < 1.0
+
+
+def test_linear_regression_functional():
+    t = np.arange(50, dtype=np.float64)
+    y = 3.0 * t + 7.0
+    f = np.asarray(apply_functionals(jnp.asarray(y[:, None])))[:, 0]
+    by = dict(zip(FUNCTIONAL_NAMES, f))
+    assert by["linregc1"] == pytest.approx(3.0, rel=1e-5)
+    assert by["linregc2"] == pytest.approx(7.0, rel=1e-4)
+    assert by["linregerrQ"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_smoother_and_deltas():
+    x = jnp.asarray(np.array([[1.0], [1.0], [4.0], [1.0], [1.0]]))
+    s = np.asarray(smooth_sma(x, 3))[:, 0]
+    np.testing.assert_allclose(s, [1.0, 2.0, 2.0, 2.0, 1.0])
+    d = np.asarray(delta_regression(jnp.asarray(np.arange(10.0)[:, None]), 2))[:, 0]
+    # interior deltas of a ramp = slope 1
+    np.testing.assert_allclose(d[2:-2], 1.0, atol=1e-6)
+
+
+def test_zcr():
+    frames = jnp.asarray(np.array([[1.0, -1.0, 1.0, -1.0], [1.0, 1.0, 1.0, 1.0]]))
+    z = np.asarray(zero_crossing_rate(frames))
+    assert z[0] == pytest.approx(3 / 4)
+    assert z[1] == 0.0
+
+
+def test_spectral_llds_tone():
+    n_bins = 257
+    mag = np.zeros((3, n_bins), np.float32)
+    bin_1k = int(1000 / (SR / 2) * (n_bins - 1))
+    mag[:, bin_1k] = 1.0
+    out = np.asarray(spectral_llds(jnp.asarray(mag), float(SR)))
+    by = dict(zip(SPECTRAL_NAMES, out[1]))
+    assert by["fftMag_spectralCentroid"] == pytest.approx(1000.0, abs=20)
+    assert by["fftMag_spectralRollOff50.0"] == pytest.approx(1000.0, abs=40)
+    assert by["fftMag_spectralEntropy"] < 0.1  # concentrated
+    assert by["fftMag_spectralEnergyInBand250-650"] == pytest.approx(0.0, abs=1e-6)
+    assert by["fftMag_spectralEnergyInBand1000-4000"] == pytest.approx(1.0, abs=1e-3)
+    assert by["fftMag_spectralFlatness"] < 0.1
+
+
+def test_shs_pitch_on_harmonic():
+    from robust_speech_analysis_framework_tpu.audio.frontend import (
+        FrontendConfig, framed_stft, preemphasize, hamming_window)
+    from robust_speech_analysis_framework_tpu.ops.shs_pitch import shs_pitch
+    from robust_speech_analysis_framework_tpu.ops.lld_spectral import rms_energy
+
+    t = np.arange(SR) / SR
+    x = sum(np.sin(2 * np.pi * k * 180.0 * t) / k for k in range(1, 12))
+    x = 0.3 * x / np.abs(x).max()
+    cfg = FrontendConfig(sample_rate=SR)
+    frames, mag = framed_stft(jnp.asarray(x, jnp.float32), cfg)
+    win = hamming_window(cfg.frame_len)
+    rms = np.asarray(rms_energy(preemphasize(frames) * win))
+    f0, voicing = shs_pitch(np.asarray(mag), SR, rms)
+    v = f0[f0 > 0]
+    assert len(v) > 0.9 * len(f0)
+    assert np.median(v) == pytest.approx(180.0, rel=0.01)
+    # noise → unvoiced
+    rng = np.random.default_rng(0)
+    _, magn = framed_stft(jnp.asarray(rng.normal(size=SR) * 0.1, jnp.float32), cfg)
+    f0n, _ = shs_pitch(np.asarray(magn), SR, rms)
+    assert (f0n > 0).mean() < 0.1
+
+
+def test_column_count_and_names():
+    cols = feature_columns()
+    assert len(cols) == 912
+    assert len(LLD_NAMES) == 38
+    assert len(set(cols)) == 912
+    assert "F0final_sma_amean" in cols
+    assert "mfcc[12]_sma_de_kurtosis" in cols
+    assert "fftMag_spectralFlux_sma_linregerrQ" in cols
+
+
+def test_extract_single_finite():
+    ex = OpenSmileExtractor()
+    vec = ex.extract_single(_voiced_pulsed())
+    assert vec.shape == (912,)
+    assert np.isfinite(vec).all()
+
+
+def test_extract_dataframe_and_failure_semantics(tmp_path):
+    import pandas as pd
+    from robust_speech_analysis_framework_tpu.audio.io import write_wav
+
+    p = tmp_path / "01_CF56_1.wav"
+    write_wav(str(p), _voiced_pulsed(1.0), SR)
+    df_in = pd.DataFrame({"filepath": [str(p), "/nonexistent/x.wav"]})
+    out = extract_opensmile_features(df_in, verbose=False)
+    # unreadable file dropped (reference :89-96), readable one present
+    assert out.shape == (1, 913)
+    assert out.iloc[0]["filename"] == "01_CF56_1.wav"
+    named = out.iloc[0]
+    assert named["F0final_sma_amean"] > 50
