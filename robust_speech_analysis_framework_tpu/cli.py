@@ -1,0 +1,136 @@
+"""Command-line interface: extract / svm / cnnlstm / bench.
+
+The reference ships no CLI — its entry points are three notebooks run in
+order (README.md:38-41). This CLI exposes the same workflows as commands:
+
+    python -m robust_speech_analysis_framework_tpu.cli extract \\
+        --corpus /data/Androids-Corpus --out data/Processed_Features
+    python -m robust_speech_analysis_framework_tpu.cli svm \\
+        --processed data/Processed_Features --out results/all_svm_results.pkl
+    python -m robust_speech_analysis_framework_tpu.cli cnnlstm \\
+        --processed data/Processed_Features --corpus /data/Androids-Corpus \\
+        --out results --models models
+    python -m robust_speech_analysis_framework_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_extract(args) -> int:
+    from .experiments import extract_all_features
+    from .features.wav2vec2 import Wav2Vec2Extractor
+
+    extractor = None
+    if args.wav2vec2_checkpoint:
+        extractor = Wav2Vec2Extractor.from_hf_checkpoint(args.wav2vec2_checkpoint)
+    paths = extract_all_features(
+        args.corpus,
+        args.out,
+        features=args.features.split(","),
+        skip_existing=not args.force,
+        wav2vec2_extractor=extractor,
+        verbose=not args.quiet,
+    )
+    for name, path in paths.items():
+        print(f"{name}: {path}")
+    return 0
+
+
+def _cmd_svm(args) -> int:
+    from .experiments import run_all_svm_experiments
+
+    results = run_all_svm_experiments(
+        args.processed,
+        out_path=args.out,
+        n_features_standard=args.k_standard,
+        skip_existing=not args.force,
+        verbose=not args.quiet,
+    )
+    for name, r in results.items():
+        df = r["results_df"]
+        print(
+            f"{name}: acc {df['accuracy'].mean():.3f}±{df['accuracy'].std():.3f} "
+            f"f1 {df['f1_score'].mean():.3f} auc {df['auc'].mean():.3f}"
+        )
+    return 0
+
+
+def _cmd_cnnlstm(args) -> int:
+    from .experiments import run_cnn_lstm_experiments
+
+    results = run_cnn_lstm_experiments(
+        args.processed,
+        args.corpus,
+        args.out,
+        models_dir=args.models,
+        n_trials=args.trials,
+        skip_existing=not args.force,
+        verbose=not args.quiet,
+    )
+    for name, r in results.items():
+        df = r["results_df"]
+        print(
+            f"{name}: f1 {df['f1_score'].mean():.3f}±{df['f1_score'].std():.3f} "
+            f"auc {df['auc'].mean():.3f}"
+        )
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    runpy.run_path(bench_path, run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="robust_speech_analysis_framework_tpu",
+        description="TPU-native speech analysis framework CLI",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="run corpus feature extraction")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--features", default="mshds,opensmile,wav2vec2")
+    p.add_argument("--wav2vec2-checkpoint", default=None)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=_cmd_extract)
+
+    p = sub.add_parser("svm", help="run the 18 SVM CV experiments")
+    p.add_argument("--processed", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--k-standard", type=int, default=25)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=_cmd_svm)
+
+    p = sub.add_parser("cnnlstm", help="run the 6 CNN-LSTM CV experiments")
+    p.add_argument("--processed", required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--models", default=None)
+    p.add_argument("--trials", type=int, default=25)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=_cmd_cnnlstm)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=_cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

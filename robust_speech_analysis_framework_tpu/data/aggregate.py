@@ -32,7 +32,7 @@ def aggregate_clip_features(
     merged = keys.merge(clip_features_df, on="filename").drop(columns=["filename"])
     agg = merged.groupby("unique_participant_id").agg(["mean", "std"])
     agg.columns = ["_".join(col).strip() for col in agg.columns.to_flat_index()]
-    return agg.reset_index()
+    return agg.reset_index().copy()
 
 
 def aggregate_interview_sequences(
