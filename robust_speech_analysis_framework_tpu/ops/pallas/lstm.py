@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: full-sequence LSTM recurrence.
+
+The CNN-LSTM's biLSTM is the latency-critical op of the flagship model
+(SURVEY.md §7.3: sequential over T). The input projections
+``x @ Wx + b`` for all gates/timesteps are one large MXU matmul outside the
+kernel; what remains is the strictly sequential part,
+
+    z_t = g_t + h_{t−1} @ Wh;   (i,f,g,o) = split(z_t);   c,h update,
+
+which this kernel runs entirely on-chip: the recurrent weights and the
+(h, c) state live in VMEM scratch for the whole sequence, the precomputed
+gate inputs stream in per time-block through the sequential TPU grid
+(block t arrives while block t−1 computes — the implicit double-buffering of
+the Pallas pipeline), and only the h outputs stream back to HBM. This
+removes the per-step HBM round trips of the stock ``lax.scan`` lowering.
+
+Shapes: gates (T, B, 4H), wh (H, 4H) → hs (T, B, H). T must be a multiple
+of the time-block; callers pad (padded tail steps compute garbage that
+callers discard — state freezing for ragged batches is handled by the
+caller's masking, as in models/cnn_lstm.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pallas_available() -> bool:
+    """Pallas TPU lowering available on the current default backend?"""
+    return jax.default_backend() == "tpu"
+
+
+def _kernel(gates_ref, wh_ref, out_ref, h_ref, c_ref, *, block_t: int):
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    wh = wh_ref[:]
+
+    def step(t, carry):
+        h, c = carry
+        z = gates_ref[t] + jnp.dot(
+            h, wh, preferred_element_type=jnp.float32
+        )
+        hdim = h.shape[-1]
+        i = jax.nn.sigmoid(z[:, :hdim])
+        f = jax.nn.sigmoid(z[:, hdim : 2 * hdim])
+        g = jnp.tanh(z[:, 2 * hdim : 3 * hdim])
+        o = jax.nn.sigmoid(z[:, 3 * hdim :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        out_ref[t] = h_new
+        return h_new, c_new
+
+    h, c = jax.lax.fori_loop(0, block_t, step, (h_ref[:], c_ref[:]))
+    h_ref[:] = h
+    c_ref[:] = c
+
+
+@partial(jax.jit, static_argnums=(2,))
+def lstm_scan_pallas(
+    gates: jnp.ndarray, wh: jnp.ndarray, block_t: int = 128
+) -> jnp.ndarray:
+    """Run the LSTM recurrence with the Pallas kernel.
+
+    gates: (T, B, 4H) precomputed x-projections (+bias); wh: (H, 4H).
+    Returns hs (T, B, H). T is padded internally to a block multiple.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, b, four_h = gates.shape
+    h_dim = four_h // 4
+    t_pad = -(-t // block_t) * block_t
+    if t_pad != t:
+        gates = jnp.pad(gates, ((0, t_pad - t), (0, 0), (0, 0)))
+
+    grid = (t_pad // block_t,)
+    out = pl.pallas_call(
+        partial(_kernel, block_t=block_t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_t, b, four_h), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((h_dim, four_h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, b, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b, h_dim), gates.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32),
+            pltpu.VMEM((b, h_dim), jnp.float32),
+        ],
+    )(gates, wh)
+    return out[:t]
+
+
+def lstm_scan_reference(gates: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
+    """lax.scan twin of the kernel, for parity tests and CPU execution."""
+
+    def step(carry, gx):
+        h, c = carry
+        z = gx + h @ wh
+        hdim = h.shape[-1]
+        i = jax.nn.sigmoid(z[:, :hdim])
+        f = jax.nn.sigmoid(z[:, hdim : 2 * hdim])
+        g = jnp.tanh(z[:, 2 * hdim : 3 * hdim])
+        o = jax.nn.sigmoid(z[:, 3 * hdim :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    b = gates.shape[1]
+    h_dim = gates.shape[2] // 4
+    init = (jnp.zeros((b, h_dim), gates.dtype), jnp.zeros((b, h_dim), gates.dtype))
+    _, hs = jax.lax.scan(step, init, gates)
+    return hs
