@@ -1,0 +1,178 @@
+"""Full benchmark suite over the BASELINE.json config set.
+
+Measures, on the current JAX backend (TPU when available):
+
+1. MSHDS 25-feature extraction throughput (audio-sec/sec);
+2. openSMILE-style 912-feature extraction throughput over a reading-set-like
+   batch;
+3. Wav2Vec2 sequence-embedding extraction throughput (batched chunks);
+4. CNN-LSTM inference p50 latency + audio-sec/sec (the bench.py headline);
+5. a standard 5-fold SVM + a short CNN-LSTM CV round (end-to-end eval path).
+
+Synthetic speech-like audio stands in for the corpus (no corpus audio ships
+with the reference checkout — its data/ holds LFS pointers only). Results
+are written to ``benchmarks/results.json``.
+
+Run: ``python -m benchmarks.suite [--quick]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+SR = 16000
+
+
+def _speech(seconds: float, f0: float, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    v = sum(np.sin(2 * np.pi * k * f0 * (1 + 0.01 * np.sin(2 * np.pi * 3 * t)) * t) / k
+            for k in range(1, 12))
+    gate = np.where((t % 0.6) < 0.42, 1.0, 0.02)
+    return (0.3 * gate * v / np.abs(v).max()
+            + 0.002 * rng.normal(size=len(t))).astype(np.float32)
+
+
+def bench_mshds(n_files: int, seconds: float) -> dict:
+    from robust_speech_analysis_framework_tpu.features.mshds import extract_mshds_single
+
+    files = [_speech(seconds, 120 + 15 * i, i) for i in range(n_files)]
+    extract_mshds_single(files[0], SR)  # compile
+    t0 = time.perf_counter()
+    for x in files:
+        extract_mshds_single(x, SR)
+    dt = time.perf_counter() - t0
+    return {
+        "audio_seconds": n_files * seconds,
+        "wall_seconds": dt,
+        "audio_sec_per_sec": n_files * seconds / dt,
+    }
+
+
+def bench_opensmile(n_files: int, seconds: float) -> dict:
+    from robust_speech_analysis_framework_tpu.features.opensmile import OpenSmileExtractor
+
+    ex = OpenSmileExtractor()
+    files = [_speech(seconds, 120 + 15 * i, i) for i in range(n_files)]
+    ex.extract_single(files[0])  # compile
+    t0 = time.perf_counter()
+    for x in files:
+        ex.extract_single(x)
+    dt = time.perf_counter() - t0
+    return {
+        "audio_seconds": n_files * seconds,
+        "wall_seconds": dt,
+        "audio_sec_per_sec": n_files * seconds / dt,
+    }
+
+
+def bench_wav2vec2(n_files: int, seconds: float) -> dict:
+    from robust_speech_analysis_framework_tpu.features.wav2vec2 import Wav2Vec2Extractor
+
+    ex = Wav2Vec2Extractor(batch_size=16)
+    warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
+    ex.extract_sequences(warm, verbose=False)  # compile
+    waves = {f"f{i}.wav": _speech(seconds, 120 + 10 * i, i) for i in range(n_files)}
+    t0 = time.perf_counter()
+    ex.extract_sequences(waves, verbose=False)
+    dt = time.perf_counter() - t0
+    return {
+        "audio_seconds": n_files * seconds,
+        "wall_seconds": dt,
+        "audio_sec_per_sec": n_files * seconds / dt,
+    }
+
+
+def bench_cnn_lstm() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from robust_speech_analysis_framework_tpu.models import CNNLSTM
+
+    model = CNNLSTM(input_dim=768, cnn_out_channels=128, lstm_hidden_dim=128)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4480, 768)), jnp.float32)
+    lengths = jnp.full((8,), 4378, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :256], train=False)
+    fwd = jax.jit(lambda v, x, l: model.apply(v, x, train=False, lengths=l))
+    np.asarray(fwd(variables, x, lengths))
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        np.asarray(fwd(variables, x + jnp.float32(i * 1e-6), lengths))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    audio = 8 * 4378 / 49.9
+    return {"p50_batch_seconds": p50, "audio_sec_per_sec": audio / p50}
+
+
+def bench_cv(quick: bool) -> dict:
+    import pandas as pd
+
+    from robust_speech_analysis_framework_tpu.eval.svm_cv import (
+        run_svm_standard_kfold_cv,
+    )
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        run_dl_standard_kfold_cv,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d = 110, 911
+    X = pd.DataFrame(rng.normal(size=(n, d)))
+    X.columns = [f"f{i}" for i in range(d)]
+    y = (rng.random(n) > 0.5).astype(int)
+    t0 = time.perf_counter()
+    run_svm_standard_kfold_cv(X, y, n_features_to_select=50)
+    svm_dt = time.perf_counter() - t0
+
+    seqs, rows = {}, []
+    for i in range(20):
+        pid = f"{i:02d}_{'P' if i % 2 else 'C'}"
+        seqs[pid] = rng.normal(size=(rng.integers(64, 256), 768)).astype(np.float32)
+        rows.append({"unique_participant_id": pid,
+                     "label": "Patient" if i % 2 else "Control"})
+    hp = {"learning_rate": 1e-3, "dropout_rate": 0.3, "cnn_out_channels": 32,
+          "lstm_hidden_dim": 64, "activation_fn": "silu"}
+    t0 = time.perf_counter()
+    run_dl_standard_kfold_cv(
+        seqs, pd.DataFrame(rows), hp, n_splits=3,
+        epochs=2 if quick else 5, patience=10, batch_size=4,
+    )
+    dl_dt = time.perf_counter() - t0
+    return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    n_files = 3 if args.quick else 8
+    seconds = 5.0 if args.quick else 20.0
+    results = {"backend": jax.default_backend()}
+    for name, fn in [
+        ("mshds_extract", lambda: bench_mshds(n_files, seconds)),
+        ("opensmile_extract", lambda: bench_opensmile(n_files, seconds)),
+        ("wav2vec2_extract", lambda: bench_wav2vec2(n_files, seconds)),
+        ("cnn_lstm_infer", bench_cnn_lstm),
+        ("cv_round", lambda: bench_cv(args.quick)),
+    ]:
+        t0 = time.perf_counter()
+        results[name] = fn()
+        results[name]["total_seconds"] = time.perf_counter() - t0
+        print(f"{name}: {json.dumps(results[name])}")
+
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"written: {out}")
+
+
+if __name__ == "__main__":
+    main()
