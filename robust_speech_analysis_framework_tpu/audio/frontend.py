@@ -102,12 +102,18 @@ def preemphasize(frames: jnp.ndarray, k: float = 0.97) -> jnp.ndarray:
 def stft_magnitude(
     frames: jnp.ndarray, window: Optional[np.ndarray] = None, n_fft: Optional[int] = None
 ) -> jnp.ndarray:
-    """Magnitude spectrum of windowed frames (..., n_frames, n_fft//2+1)."""
+    """Magnitude spectrum of windowed frames (..., n_frames, n_fft//2+1).
+
+    Routed through :mod:`..ops.dft`: on TPU the transform is a GEMM over a
+    cached cos/sin basis (MXU-native; also required on backends without
+    XLA FftOp), elsewhere ``jnp.fft.rfft``.
+    """
+    from ..ops.dft import rfft_mag
+
     if window is not None:
         frames = frames * jnp.asarray(window, dtype=frames.dtype)
     n_fft = n_fft or _next_pow2(frames.shape[-1])
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    return jnp.abs(spec)
+    return rfft_mag(frames, n_fft)
 
 
 def power_spectrum(

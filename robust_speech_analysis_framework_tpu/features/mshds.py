@@ -34,6 +34,7 @@ from ..ops.pulses import (
     vuv_intervals,
 )
 from ..ops.spectral import voiced_mean_moments
+from ..utils.reliability import retry_transient
 
 FEATURE_NAMES = [
     "Speaking_Rate", "Articulation_Rate", "Phonation_Ratio", "Pause_Rate",
@@ -150,7 +151,8 @@ def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
 
     # Pitch statistics (reference :164-183).
     try:
-        pitch = pitch_track_ac(x, sr, time_step=0.005, floor=floor, ceiling=ceiling)
+        pitch = retry_transient(lambda: pitch_track_ac(
+            x, sr, time_step=0.005, floor=floor, ceiling=ceiling))
         out["mean_F0"] = pitch.mean_hz()
         out["stdev_F0_Semitone"] = pitch.std_semitones()
     except Exception:
@@ -159,9 +161,9 @@ def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
 
     # Intensity (reference :185-205).
     try:
-        intens = intensity_contour(
+        intens = retry_transient(lambda: intensity_contour(
             x, sr, minimum_pitch=floor, time_step=0.005, subtract_mean=True
-        )
+        ))
         out["mean_dB"] = intens.mean_energy_db()
         mn, mx = intens.min_db(), intens.max_db()
         out["range_ratio_dB"] = mx / mn if mn != 0 else float("nan")
@@ -170,10 +172,10 @@ def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
 
     # HNR (reference :207-225).
     try:
-        out["HNR_dB"] = harmonicity_cc(
+        out["HNR_dB"] = retry_transient(lambda: harmonicity_cc(
             x, sr, time_step=0.005, minimum_pitch=floor,
             silence_threshold=0.1, periods_per_window=4.5,
-        ).mean_db()
+        ).mean_db())
     except Exception:
         out["HNR_dB"] = float("nan")
 
@@ -214,9 +216,9 @@ def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
 
     # Formants at glottal pulses (reference :303-338).
     try:
-        ft = formant_track_burg(x, sr, time_step=0.005, max_formants=5,
-                                max_formant_hz=5000, window_length=0.025,
-                                preemphasis_from=50)
+        ft = retry_transient(lambda: formant_track_burg(
+            x, sr, time_step=0.005, max_formants=5,
+            max_formant_hz=5000, window_length=0.025, preemphasis_from=50))
         if len(pulses) == 0:
             pcc2 = pitch_track_cc(x, sr, time_step=0.005, floor=floor, ceiling=ceiling)
             pulses = point_process_cc(x, sr, pcc2)

@@ -125,24 +125,51 @@ class OpenSmileExtractor:
         spect = spectral_llds(mag, float(cfg.sample_rate))
         return mag, mfcc, energy, zcr, inten, spect
 
-    def _summary_stage_impl(self, lld: jnp.ndarray):
-        sma = smooth_sma(lld, self.config.sma_window)
-        de = delta_regression(sma, self.config.deltawin)
-        return apply_functionals(sma), apply_functionals(de)
+    def _summary_stage_impl(self, lld: jnp.ndarray, length: jnp.ndarray):
+        from ..ops.functionals import (
+            apply_functionals_masked,
+            delta_regression_masked,
+            smooth_sma_masked,
+        )
+
+        sma = smooth_sma_masked(lld, length, self.config.sma_window)
+        de = delta_regression_masked(sma, length, self.config.deltawin)
+        return (
+            apply_functionals_masked(sma, length),
+            apply_functionals_masked(de, length),
+        )
 
     # ---- public API -------------------------------------------------------
 
     def extract_llds(self, x: np.ndarray) -> np.ndarray:
         """(T_samples,) 16 kHz mono → (T_frames, 38) raw LLD matrix."""
+        from ..audio.frontend import num_frames
+        from ..ops.bucketing import bucket_size
+
         cfg = self.config.frontend
-        xj = jnp.asarray(np.asarray(x, np.float32))
+        x = np.asarray(x, np.float32)
+        # Bucket the waveform length so every frame-parallel stage compiles
+        # once per bucket (appended zeros = silence; the padded frames are
+        # sliced away below).
+        n_true = num_frames(len(x), cfg.frame_len, cfg.hop)
+        n_pad_samples = bucket_size(len(x), min_bucket=cfg.sample_rate // 2)
+        if n_pad_samples != len(x):
+            x = np.pad(x, (0, n_pad_samples - len(x)))
+        xj = jnp.asarray(x)
         mag, mfcc, energy, zcr, inten, spect = self._frame_stage(xj)
-        mag_np = np.asarray(mag)
-        energy_np = np.asarray(energy)
+        # SHS + Viterbi run on the padded frames (zero tail = silence, which
+        # the energy gate zeroes anyway) so their jits also see one shape per
+        # bucket; everything is sliced to the true frame count afterwards.
         f0, voicing = shs_pitch(
-            mag_np, cfg.sample_rate, energy_np, self.config.shs,
-            self.config.energy_gate,
+            np.asarray(mag), cfg.sample_rate, np.asarray(energy),
+            self.config.shs, self.config.energy_gate,
         )
+        f0, voicing = f0[:n_true], voicing[:n_true]
+        energy_np = np.asarray(energy)[:n_true]
+        mfcc = np.asarray(mfcc)[:n_true]
+        zcr = np.asarray(zcr)[:n_true]
+        inten = np.asarray(inten)[:n_true]
+        spect = np.asarray(spect)[:n_true]
         vq = jitter_shimmer_llds(
             np.asarray(x, np.float64), cfg.sample_rate, f0,
             hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
@@ -151,13 +178,13 @@ class OpenSmileExtractor:
         lld = np.concatenate(
             [
                 energy_np[:, None],
-                np.asarray(mfcc),
-                np.asarray(zcr)[:, None],
+                mfcc,
+                zcr[:, None],
                 f0[:, None],
                 voicing[:, None],
-                np.asarray(inten),
-                vq,
-                np.asarray(spect),
+                inten,
+                vq[:n_true] if len(vq) > n_true else vq,
+                spect,
             ],
             axis=1,
         )
@@ -165,8 +192,13 @@ class OpenSmileExtractor:
 
     def extract_single(self, x: np.ndarray) -> np.ndarray:
         """One waveform → the 912-dim summary feature vector."""
+        from ..ops.bucketing import pad_frames
+
         lld = self.extract_llds(x)
-        f_sma, f_de = self._summary_stage(jnp.asarray(lld, jnp.float32))
+        lld_pad, n_true = pad_frames(lld.astype(np.float32))
+        f_sma, f_de = self._summary_stage(
+            jnp.asarray(lld_pad), jnp.asarray(n_true, jnp.int32)
+        )
         # (12, 38) each → column order: per stream, per LLD, per functional
         return np.concatenate(
             [np.asarray(f_sma).T.reshape(-1), np.asarray(f_de).T.reshape(-1)]

@@ -34,11 +34,11 @@ class PowerCepstrogram(NamedTuple):
 
 @partial(jax.jit, static_argnums=(1,))
 def _cepstrum_frames(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
-    spec = jnp.fft.rfft(frames, n_fft)
-    power = jnp.real(spec * jnp.conj(spec))
+    from .dft import power_of_real_dft, rfft_power
+
+    power = rfft_power(frames, n_fft)
     log_power = jnp.log10(jnp.maximum(power, 1e-30))
-    ceps = jnp.fft.rfft(log_power, n_fft)
-    return jnp.real(ceps * jnp.conj(ceps))
+    return power_of_real_dft(log_power, n_fft)
 
 
 def power_cepstrogram(
@@ -72,9 +72,11 @@ def power_cepstrogram(
     starts = np.clip(
         np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
     )
-    frames = x[starts[:, None] + np.arange(win_len)[None, :]] * window
+    from .bucketing import pad_frames
+
+    frames, _ = pad_frames(x[starts[:, None] + np.arange(win_len)[None, :]] * window)
     n_fft = 1 << int(np.ceil(np.log2(win_len)))
-    ceps_pow = np.asarray(_cepstrum_frames(jnp.asarray(frames), n_fft))
+    ceps_pow = np.asarray(_cepstrum_frames(jnp.asarray(frames), n_fft))[:n_frames]
     # Quefrency axis: the log-power spectrum (n_fft//2+1 samples at
     # Δf = sr/n_fft) is zero-padded back to n_fft before its rfft, so bin q
     # sits at quefrency q/(n_fft·Δf) = q/sr exactly.

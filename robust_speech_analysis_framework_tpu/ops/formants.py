@@ -168,11 +168,13 @@ def formant_track_burg(
     starts = np.clip(
         np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
     )
-    frames = x[starts[:, None] + np.arange(win_len)[None, :]] * window
+    from .bucketing import pad_frames
+
+    frames, _ = pad_frames(x[starts[:, None] + np.arange(win_len)[None, :]] * window)
 
     order = int(2 * max_formants)
-    a = np.asarray(burg_coeffs(jnp.asarray(frames), order))
-    roots = np.asarray(durand_kerner_roots(jnp.asarray(a)))
+    a = burg_coeffs(jnp.asarray(frames), order)
+    roots = np.asarray(durand_kerner_roots(a))[:n_frames]
 
     freq = np.abs(np.arctan2(roots.imag, roots.real)) * sr / (2 * np.pi)
     bw = -np.log(np.maximum(np.abs(roots), 1e-12)) * sr / np.pi

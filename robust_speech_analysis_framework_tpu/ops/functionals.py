@@ -111,3 +111,80 @@ def lld_to_functionals(lld: jnp.ndarray, sma_window: int = 3, deltawin: int = 2)
     sma = smooth_sma(lld, sma_window)
     de = delta_regression(sma, deltawin)
     return apply_functionals(sma), apply_functionals(de)
+
+
+# ---------------------------------------------------------------------------
+# Length-masked variants (for bucket-padded LLD matrices)
+# ---------------------------------------------------------------------------
+
+def smooth_sma_masked(x: jnp.ndarray, length, window: int = 3) -> jnp.ndarray:
+    """Masked moving average: identical to :func:`smooth_sma` on the first
+    ``length`` rows of a padded (T_pad, D) matrix; rows ≥ length are
+    whatever the padding left (callers mask downstream)."""
+    t = x.shape[0]
+    half = window // 2
+    idx = jnp.arange(t)
+    valid = (idx < length).astype(x.dtype)
+    xm = x * valid[:, None]
+    padded = jnp.pad(xm, ((half, half), (0, 0)))
+    csum = jnp.cumsum(padded, axis=0)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+    sums = csum[window:] - csum[:-window]
+    counts = jnp.minimum(idx + half + 1, length) - jnp.maximum(idx - half, 0)
+    counts = jnp.maximum(counts, 1)
+    return sums / counts[:, None]
+
+
+def delta_regression_masked(x: jnp.ndarray, length, deltawin: int = 2) -> jnp.ndarray:
+    """Masked delta regression: edge clamping at ``length−1`` instead of the
+    padded end, matching :func:`delta_regression` on the unpadded matrix."""
+    t = x.shape[0]
+    denom = 2.0 * sum(n * n for n in range(1, deltawin + 1))
+    idx = jnp.arange(t)
+    hi = jnp.maximum(length - 1, 0)
+    out = jnp.zeros_like(x)
+    for n in range(1, deltawin + 1):
+        plus = x[jnp.clip(idx + n, 0, hi)]
+        minus = x[jnp.clip(idx - n, 0, hi)]
+        out = out + n * (plus - minus)
+    return out / denom
+
+
+def apply_functionals_masked(x: jnp.ndarray, length) -> jnp.ndarray:
+    """Masked :func:`apply_functionals`: statistics over rows [0, length)."""
+    t, d = x.shape
+    idx = jnp.arange(t)
+    mask = (idx < length)[:, None].astype(x.dtype)
+    n = jnp.maximum(length, 1).astype(x.dtype)
+
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    pos_inf = jnp.asarray(jnp.inf, x.dtype)
+    x_for_max = jnp.where(mask > 0, x, neg_inf)
+    x_for_min = jnp.where(mask > 0, x, pos_inf)
+    mx = jnp.max(x_for_max, axis=0)
+    mn = jnp.min(x_for_min, axis=0)
+    max_pos = jnp.argmax(x_for_max, axis=0).astype(x.dtype)
+    min_pos = jnp.argmin(x_for_min, axis=0).astype(x.dtype)
+
+    xm = x * mask
+    mean = jnp.sum(xm, axis=0) / n
+    ti = idx.astype(x.dtype)[:, None]
+    t_mean = (n - 1) / 2.0
+    t_var = jnp.sum(((ti[:, 0] - t_mean) ** 2) * mask[:, 0]) / n
+    cov = jnp.sum((ti - t_mean) * (x - mean) * mask, axis=0) / n
+    slope = cov / jnp.maximum(t_var, 1e-30)
+    offset = mean - slope * t_mean
+    resid = (x - (slope[None, :] * ti + offset[None, :])) * mask
+    err_q = jnp.sum(resid * resid, axis=0) / n
+
+    var = jnp.sum(((x - mean) ** 2) * mask, axis=0) / n
+    std = jnp.sqrt(var)
+    std_safe = jnp.maximum(std, 1e-30)
+    skew = jnp.sum(((x - mean) ** 3) * mask, axis=0) / n / std_safe**3
+    kurt = jnp.sum(((x - mean) ** 4) * mask, axis=0) / n / std_safe**4
+
+    return jnp.stack(
+        [mx, mn, mx - mn, max_pos, min_pos, mean,
+         slope, offset, err_q, std, skew, kurt],
+        axis=0,
+    )

@@ -51,10 +51,12 @@ def harmonicity_cc(
     starts = np.clip(
         np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x_pad) - ext, 0)
     )
-    frames_ext = jnp.asarray(x_pad[starts[:, None] + np.arange(ext)[None, :]])
-    r, local_peak = _forward_crosscorr(frames_ext, win_len, max_lag)
-    r = np.asarray(r)
-    local_peak = np.asarray(local_peak)
+    from .bucketing import pad_frames
+
+    frames_np, _ = pad_frames(x_pad[starts[:, None] + np.arange(ext)[None, :]])
+    r, local_peak = _forward_crosscorr(jnp.asarray(frames_np), win_len, max_lag)
+    r = np.asarray(r)[:n_frames]
+    local_peak = np.asarray(local_peak)[:n_frames]
 
     lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))  # ≤10×floor
     # Peak of r in (lag_min, max_lag]; require a genuine local maximum.

@@ -119,7 +119,11 @@ def intensity_contour(
     starts = np.clip(
         np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
     )
-    frames = jnp.asarray(x[starts[:, None] + np.arange(win_len)[None, :]])
-    power = np.asarray(_frame_power(frames, window, subtract_mean))
+    from .bucketing import pad_frames
+
+    frames_np, _ = pad_frames(x[starts[:, None] + np.arange(win_len)[None, :]])
+    power = np.asarray(
+        _frame_power(jnp.asarray(frames_np), window, subtract_mean)
+    )[:n_frames]
     db = 10.0 * np.log10(np.maximum(power, 1e-30) / _REF_POWER)
     return IntensityContour(centers, db)

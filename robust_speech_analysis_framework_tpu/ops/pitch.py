@@ -135,11 +135,12 @@ def _normalized_autocorr(
     else:  # gaussian (very accurate mode)
         k = np.arange(n) - (n - 1) / 2
         win = np.exp(-48.0 * (k / n) ** 2).astype(np.float64)
+    from .dft import autocorr
+
     w = jnp.asarray(win, frames.dtype)
     xw = frames * w
-    spec = jnp.fft.rfft(xw, n_fft)
-    ac = jnp.fft.irfft(spec * jnp.conj(spec).astype(spec.dtype), n_fft)
-    r = ac[..., : max_lag + 1] / jnp.maximum(ac[..., :1], 1e-30)
+    ac = autocorr(xw, n_fft, max_lag + 1)
+    r = ac / jnp.maximum(ac[..., :1], 1e-30)
     r_w = jnp.asarray(_window_and_norm_ac(win, n_fft)[: max_lag + 1], frames.dtype)
     r = r / jnp.maximum(r_w, 1e-12)
     return r, local_peak
@@ -262,6 +263,8 @@ def _forward_crosscorr(
     ``win_len`` samples against the segment shifted by τ, normalized by both
     segment energies.
     """
+    from .dft import cross_corr
+
     frames_ext = frames_ext - jnp.mean(
         frames_ext[:, :win_len], axis=-1, keepdims=True
     )
@@ -269,9 +272,7 @@ def _forward_crosscorr(
     local_peak = jnp.max(jnp.abs(base), axis=-1)
     n_ext = frames_ext.shape[-1]
     n_fft = 1 << int(np.ceil(np.log2(2 * n_ext)))
-    f_base = jnp.fft.rfft(base, n_fft)
-    f_ext = jnp.fft.rfft(frames_ext, n_fft)
-    corr = jnp.fft.irfft(jnp.conj(f_base) * f_ext, n_fft)[:, : max_lag + 1]
+    corr = cross_corr(base, frames_ext, n_fft, max_lag + 1)
     e_base = jnp.sum(base * base, axis=-1, keepdims=True)
     csum = jnp.cumsum(frames_ext * frames_ext, axis=-1)
     zero = jnp.zeros_like(csum[:, :1])
@@ -297,23 +298,27 @@ def _pitch_track(x: np.ndarray, sr: float, params: PitchParams) -> PitchTrack:
     centers = t0 + np.arange(n_frames) * dt
     global_peak = float(np.max(np.abs(x - x.mean()))) or 1e-30
 
+    from .bucketing import pad_frames
+
     if params.method == "cc":
         ext = win_len + max_lag
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - ext, 0)
         )
         x_pad = np.pad(x, (0, max(ext - len(x), 0)))
-        frames_ext = jnp.asarray(x_pad[starts[:, None] + np.arange(ext)[None, :]])
-        r, local_peak = _forward_crosscorr(frames_ext, win_len, max_lag)
+        frames_np, _ = pad_frames(x_pad[starts[:, None] + np.arange(ext)[None, :]])
+        r, local_peak = _forward_crosscorr(jnp.asarray(frames_np), win_len, max_lag)
     else:
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int),
             0,
             max(len(x) - win_len, 0),
         )
-        frames = jnp.asarray(x[starts[:, None] + np.arange(win_len)[None, :]])
+        frames_np, _ = pad_frames(x[starts[:, None] + np.arange(win_len)[None, :]])
         window_kind = "gaussian" if params.very_accurate else "hanning"
-        r, local_peak = _normalized_autocorr(frames, n_fft, max_lag, window_kind)
+        r, local_peak = _normalized_autocorr(
+            jnp.asarray(frames_np), n_fft, max_lag, window_kind
+        )
     freqs, strengths, rvals = _find_candidates(
         r,
         local_peak,
@@ -339,7 +344,7 @@ def _pitch_track(x: np.ndarray, sr: float, params: PitchParams) -> PitchTrack:
         trans_scale,
         (float(params.octave_jump_cost), float(params.voiced_unvoiced_cost)),
     )
-    idx = np.asarray(path)
+    idx = np.asarray(path)[:n_frames]  # drop bucket-padding frames
     f0 = np.asarray(freqs)[np.arange(n_frames), idx]
     st = np.asarray(rvals)[np.arange(n_frames), idx]
     return PitchTrack(centers, f0, st)

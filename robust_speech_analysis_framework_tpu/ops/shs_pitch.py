@@ -145,12 +145,14 @@ def _voicing_from_mag(mag: jnp.ndarray, sr: float, min_pitch: float) -> jnp.ndar
     recovered from the magnitude spectrum (Wiener–Khinchin: r = irfft(|S|²)).
     Peak of r(τ) within the pitch lag band ∈ [0, 1]; harmonic frames ≈ 0.9+,
     noise ≲ 0.4, so openSMILE's 0.70 cutoff separates them cleanly."""
+    from .dft import autocorr_via_power
+
     power = mag * mag
     n_fft = 2 * (mag.shape[1] - 1)
-    r = jnp.fft.irfft(power, n_fft)
-    r0 = jnp.maximum(r[:, :1], 1e-30)
     max_lag = int(sr / min_pitch)
-    band = r[:, 2 : max_lag + 1] / r0
+    r = autocorr_via_power(power, n_fft, max_lag + 1)
+    r0 = jnp.maximum(r[:, :1], 1e-30)
+    band = r[:, 2:] / r0
     return jnp.clip(jnp.max(band, axis=1), 0.0, 1.0)
 
 

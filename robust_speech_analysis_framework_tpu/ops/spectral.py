@@ -28,8 +28,9 @@ class SpectrogramFrames(NamedTuple):
 
 @partial(jax.jit, static_argnums=(1,))
 def _power_frames(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
-    spec = jnp.fft.rfft(frames, n_fft)
-    return jnp.real(spec * jnp.conj(spec))
+    from .dft import rfft_power
+
+    return rfft_power(frames, n_fft)
 
 
 def spectrogram(
@@ -54,9 +55,11 @@ def spectrogram(
     starts = np.clip(
         np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
     )
-    frames = x[starts[:, None] + np.arange(win_len)[None, :]] * window
+    from .bucketing import pad_frames
+
+    frames, _ = pad_frames(x[starts[:, None] + np.arange(win_len)[None, :]] * window)
     n_fft = 1 << int(np.ceil(np.log2(win_len)))
-    power = np.asarray(_power_frames(jnp.asarray(frames), n_fft))
+    power = np.asarray(_power_frames(jnp.asarray(frames), n_fft))[:n_frames]
     freqs = np.arange(n_fft // 2 + 1) * sr / n_fft
     if max_frequency:
         keep = freqs <= max_frequency

@@ -36,6 +36,28 @@ def deterministic_check(fn: Callable, *args, runs: int = 2) -> bool:
     return True
 
 
+_TRANSIENT_MARKERS = ("UNIMPLEMENTED", "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL")
+
+
+def retry_transient(fn: Callable, retries: int = 2, markers=_TRANSIENT_MARKERS):
+    """Call ``fn()``, retrying on transient backend/RPC errors.
+
+    Remote-attached accelerators (tunneled TPU backends) occasionally fail a
+    transfer or dispatch under load with status-code errors that succeed on
+    retry; genuine errors re-raise after ``retries`` attempts.
+    """
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - filtered below
+            msg = str(e)
+            if not any(m in msg for m in markers):
+                raise
+            last = e
+    raise last
+
+
 _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM")
 
 
