@@ -76,15 +76,16 @@ class LSTMCellFused(nn.Module):
     The (T, B, 4H) input-gate pre-activations are computed once outside the
     scan (one MXU matmul over the flattened (B*T, C) input); the scan body
     only does the (B, H) @ (H, 4H) recurrent matmul. Gate order: i, f, g, o.
+
+    ``input_dim`` may be fixed at construction (required for the grouped
+    BiLSTM path that reads this cell's parameters directly); otherwise it is
+    inferred from the first call.
     """
 
     hidden_dim: int
+    input_dim: Optional[int] = None
 
-    @nn.compact
-    def __call__(
-        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
-        b, t, c = x.shape
+    def _params(self, c: int):
         h_dim = self.hidden_dim
         wx = self.param(
             "wx", nn.initializers.xavier_uniform(), (c, 4 * h_dim), jnp.float32
@@ -93,10 +94,22 @@ class LSTMCellFused(nn.Module):
             "wh", nn.initializers.orthogonal(), (h_dim, 4 * h_dim), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (4 * h_dim,), jnp.float32)
+        return wx, wh, bias
 
-        # One large matmul for every gate at every timestep.
-        gates_x = (x.reshape(b * t, c) @ wx).reshape(b, t, 4 * h_dim) + bias
-        gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H) scan-major
+    @nn.compact
+    def gates_and_weights(self, x: jnp.ndarray):
+        """(T, B, 4H) hoisted gate pre-activations + the recurrent matrix."""
+        b, t, c = x.shape
+        wx, wh, bias = self._params(self.input_dim or c)
+        gates_x = (x.reshape(b * t, c) @ wx).reshape(b, t, 4 * self.hidden_dim) + bias
+        return jnp.swapaxes(gates_x, 0, 1), wh
+
+    def __call__(
+        self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        b, t, _ = x.shape
+        h_dim = self.hidden_dim
+        gates_x, wh = self.gates_and_weights(x)
 
         # On TPU, the recurrence runs as a Pallas kernel: state and recurrent
         # weights stay in VMEM for the whole sequence instead of bouncing
@@ -111,28 +124,38 @@ class LSTMCellFused(nn.Module):
             hs = lstm_scan_pallas(gates_x, wh)
             return jnp.swapaxes(hs, 0, 1)
 
-        def step(carry, inputs):
-            h_prev, c_prev = carry
-            gx, t_idx = inputs
-            z = gx + h_prev @ wh
-            i, f, g, o = jnp.split(z, 4, axis=-1)
-            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-            g = jnp.tanh(g)
-            c_new = f * c_prev + i * g
-            h_new = o * jnp.tanh(c_new)
-            if lengths is not None:
-                alive = (t_idx < lengths)[:, None]
-                h_new = jnp.where(alive, h_new, h_prev)
-                c_new = jnp.where(alive, c_new, c_prev)
-            return (h_new, c_new), h_new
-
-        init = (
-            jnp.zeros((b, h_dim), x.dtype),
-            jnp.zeros((b, h_dim), x.dtype),
-        )
-        t_indices = jnp.arange(t)
-        _, hs = jax.lax.scan(step, init, (gates_x, t_indices))
+        hs = _lstm_scan(gates_x, wh, lengths)
         return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+def _lstm_scan(
+    gates_x: jnp.ndarray, wh: jnp.ndarray, lengths: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """lax.scan LSTM recurrence over (T, B, 4H) gate pre-activations."""
+    t, b, four_h = gates_x.shape
+    h_dim = four_h // 4
+
+    def step(carry, inputs):
+        h_prev, c_prev = carry
+        gx, t_idx = inputs
+        z = gx + h_prev @ wh
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c_prev + i * g
+        h_new = o * jnp.tanh(c_new)
+        if lengths is not None:
+            alive = (t_idx < lengths)[:, None]
+            h_new = jnp.where(alive, h_new, h_prev)
+            c_new = jnp.where(alive, c_new, c_prev)
+        return (h_new, c_new), h_new
+
+    init = (
+        jnp.zeros((b, h_dim), gates_x.dtype),
+        jnp.zeros((b, h_dim), gates_x.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, (gates_x, jnp.arange(t)))
+    return hs
 
 
 class BiLSTM(nn.Module):
@@ -153,21 +176,37 @@ class BiLSTM(nn.Module):
         train: bool = False,
         lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        from ..ops.pallas.lstm import lstm_scan_pallas_grouped, pallas_available
+
         h = x
         for layer in range(self.num_layers):
-            fwd = LSTMCellFused(self.hidden_dim, name=f"fwd_{layer}")(h, lengths)
+            fwd_cell = LSTMCellFused(self.hidden_dim, name=f"fwd_{layer}")
+            bwd_cell = LSTMCellFused(self.hidden_dim, name=f"bwd_{layer}")
             if lengths is None:
                 bwd_in = jnp.flip(h, axis=1)
-                bwd = LSTMCellFused(self.hidden_dim, name=f"bwd_{layer}")(bwd_in)
-                bwd = jnp.flip(bwd, axis=1)
+                unflip = lambda y: jnp.flip(y, axis=1)
             else:
                 # Reverse only the valid prefix of each sequence.
                 t = h.shape[1]
                 idx = lengths[:, None] - 1 - jnp.arange(t)[None, :]
                 idx = jnp.clip(idx, 0, t - 1)
                 bwd_in = jnp.take_along_axis(h, idx[..., None], axis=1)
-                bwd = LSTMCellFused(self.hidden_dim, name=f"bwd_{layer}")(bwd_in, lengths)
-                bwd = jnp.take_along_axis(bwd, idx[..., None], axis=1)
+                unflip = lambda y: jnp.take_along_axis(y, idx[..., None], axis=1)
+
+            if pallas_available():
+                # Both directions advance through ONE kernel: the sequential
+                # step count halves and the per-step recurrent matmul doubles
+                # in size (better MXU shape).
+                g_f, wh_f = fwd_cell.gates_and_weights(h)
+                g_b, wh_b = bwd_cell.gates_and_weights(bwd_in)
+                gates = jnp.stack([g_f, g_b], axis=1)  # (T, 2, B, 4H)
+                wh = jnp.stack([wh_f, wh_b], axis=0)  # (2, H, 4H)
+                hs = lstm_scan_pallas_grouped(gates, wh)  # (T, 2, B, H)
+                fwd = jnp.swapaxes(hs[:, 0], 0, 1)
+                bwd = unflip(jnp.swapaxes(hs[:, 1], 0, 1))
+            else:
+                fwd = fwd_cell(h, lengths)
+                bwd = unflip(bwd_cell(bwd_in, lengths))
             h = jnp.concatenate([fwd, bwd], axis=-1)
             if layer < self.num_layers - 1 and self.dropout > 0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)

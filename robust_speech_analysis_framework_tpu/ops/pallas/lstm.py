@@ -126,3 +126,81 @@ def lstm_scan_reference(gates: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
     init = (jnp.zeros((b, h_dim), gates.dtype), jnp.zeros((b, h_dim), gates.dtype))
     _, hs = jax.lax.scan(step, init, gates)
     return hs
+
+
+def _kernel_grouped(gates_ref, wh_ref, out_ref, h_ref, c_ref, *, block_t: int,
+                    groups: int):
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    wh = wh_ref[:]  # (G, H, 4H)
+
+    def step(t, carry):
+        h, c = carry  # (G, B, H) each
+        gx = gates_ref[t]  # (G, B, 4H)
+        # Per-group recurrent matmul, statically unrolled (G is tiny).
+        z_parts = [
+            jnp.dot(h[g], wh[g], preferred_element_type=jnp.float32)
+            for g in range(groups)
+        ]
+        z = gx + jnp.stack(z_parts, axis=0)
+        hdim = h.shape[-1]
+        i = jax.nn.sigmoid(z[..., :hdim])
+        f = jax.nn.sigmoid(z[..., hdim : 2 * hdim])
+        g_ = jnp.tanh(z[..., 2 * hdim : 3 * hdim])
+        o = jax.nn.sigmoid(z[..., 3 * hdim :])
+        c_new = f * c + i * g_
+        h_new = o * jnp.tanh(c_new)
+        out_ref[t] = h_new
+        return h_new, c_new
+
+    h, c = jax.lax.fori_loop(0, block_t, step, (h_ref[:], c_ref[:]))
+    h_ref[:] = h
+    c_ref[:] = c
+
+
+@partial(jax.jit, static_argnums=(2,))
+def lstm_scan_pallas_grouped(
+    gates: jnp.ndarray, wh: jnp.ndarray, block_t: int = 128
+) -> jnp.ndarray:
+    """Multi-direction LSTM recurrence in one kernel.
+
+    gates: (T, G, B, 4H) — G independent recurrences (e.g. the forward and
+    time-reversed directions of a biLSTM layer) advance in lockstep through
+    one sequential pipeline; wh: (G, H, 4H). Returns (T, G, B, H).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, g, b, four_h = gates.shape
+    h_dim = four_h // 4
+    t_pad = -(-t // block_t) * block_t
+    if t_pad != t:
+        gates = jnp.pad(gates, ((0, t_pad - t), (0, 0), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        partial(_kernel_grouped, block_t=block_t, groups=g),
+        grid=(t_pad // block_t,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_t, g, b, four_h), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((g, h_dim, four_h), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_t, g, b, h_dim), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, g, b, h_dim), gates.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g, b, h_dim), jnp.float32),
+            pltpu.VMEM((g, b, h_dim), jnp.float32),
+        ],
+    )(gates, wh)
+    return out[:t]
