@@ -106,6 +106,8 @@ class OpenSmileExtractor:
         )
         self._frame_stage = jax.jit(self._frame_stage_impl)
         self._summary_stage = jax.jit(self._summary_stage_impl)
+        self._frame_stage_batch = jax.jit(jax.vmap(self._frame_stage_impl))
+        self._summary_stage_batch = jax.jit(jax.vmap(self._summary_stage_impl))
 
     # ---- jitted stages ----------------------------------------------------
 
@@ -204,12 +206,97 @@ class OpenSmileExtractor:
             [np.asarray(f_sma).T.reshape(-1), np.asarray(f_de).T.reshape(-1)]
         )
 
+    def extract_batch(
+        self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
+    ) -> pd.DataFrame:
+        """Corpus-batched extraction: files grouped by length bucket, each
+        group stacked and pushed through vmapped stages as ONE program per
+        bucket shape (the TPU-native replacement for the reference's
+        one-subprocess-per-file loop, src/opensmile_extractor.py:54-75).
+        Only the sequential jitter period-marching stays per-file on host.
+        """
+        from ..audio.frontend import num_frames
+        from ..ops.bucketing import bucket_size, pad_frames
+        from ..ops.shs_pitch import shs_pitch_batch
+
+        cfg = self.config.frontend
+        cols = feature_columns()
+
+        groups: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+        for name, x in waveforms.items():
+            x = np.asarray(x, np.float32).reshape(-1)
+            b = bucket_size(len(x), min_bucket=cfg.sample_rate // 2)
+            groups.setdefault(b, []).append((name, x))
+
+        rows = []
+        for bucket, items in sorted(groups.items()):
+            names = [n for n, _ in items]
+            stack = np.zeros((len(items), bucket), np.float32)
+            n_frames_true = np.zeros(len(items), np.int64)
+            for i, (_, x) in enumerate(items):
+                stack[i, : len(x)] = x
+                n_frames_true[i] = num_frames(len(x), cfg.frame_len, cfg.hop)
+            try:
+                mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(
+                    jnp.asarray(stack)
+                )
+                f0, voicing = shs_pitch_batch(
+                    np.asarray(mag), cfg.sample_rate, np.asarray(energy),
+                    self.config.shs, self.config.energy_gate,
+                )
+                mfcc, energy = np.asarray(mfcc), np.asarray(energy)
+                zcr, inten, spect = np.asarray(zcr), np.asarray(inten), np.asarray(spect)
+
+                llds = []
+                for i, (name, x) in enumerate(items):
+                    nt = int(n_frames_true[i])
+                    vq = jitter_shimmer_llds(
+                        x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
+                        hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
+                        search_range_rel=self.config.jitter_search_range,
+                    )
+                    llds.append(
+                        np.concatenate(
+                            [energy[i, :nt, None], mfcc[i, :nt],
+                             zcr[i, :nt, None], f0[i, :nt, None],
+                             voicing[i, :nt, None], inten[i, :nt], vq[:nt],
+                             spect[i, :nt]],
+                            axis=1,
+                        )
+                    )
+                frame_bucket = max(bucket_size(len(l)) for l in llds)
+                lld_stack = np.zeros((len(llds), frame_bucket, llds[0].shape[1]), np.float32)
+                lengths = np.zeros(len(llds), np.int32)
+                for i, l in enumerate(llds):
+                    lld_stack[i, : len(l)] = l
+                    lengths[i] = len(l)
+                f_sma, f_de = self._summary_stage_batch(
+                    jnp.asarray(lld_stack), jnp.asarray(lengths)
+                )
+                f_sma, f_de = np.asarray(f_sma), np.asarray(f_de)
+                for i, name in enumerate(names):
+                    vec = np.concatenate(
+                        [f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)]
+                    )
+                    row = dict(zip(cols, vec.tolist()))
+                    row["filename"] = name
+                    rows.append(row)
+            except Exception as e:
+                if verbose:
+                    print(f"ERROR: batch bucket {bucket} failed: {e}")
+        if not rows:
+            return pd.DataFrame()
+        return pd.DataFrame(rows)
+
     def extract(
         self,
         waveforms: Mapping[str, np.ndarray],
         verbose: bool = True,
+        batched: bool = True,
     ) -> pd.DataFrame:
         """{filename: waveform} → DataFrame['filename' + 912 features]."""
+        if batched:
+            return self.extract_batch(waveforms, verbose=verbose)
         cols = feature_columns()
         rows = []
         for name, x in waveforms.items():

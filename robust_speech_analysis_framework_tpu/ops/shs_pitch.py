@@ -258,3 +258,35 @@ def shs_pitch(
     voc = np.asarray(voc)
     gate = np.asarray(frame_rms) >= energy_threshold
     return np.where(gate, f0, 0.0), voc
+
+
+def shs_pitch_batch(
+    mag: np.ndarray,
+    sr: float,
+    frame_rms: np.ndarray,
+    params: ShsParams = ShsParams(),
+    energy_threshold: float = 0.001,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`shs_pitch`: mag (N, T, F), frame_rms (N, T) →
+    (F0 (N, T), voicing (N, T)). All stages vmapped; one compiled program
+    per (N, T, F) bucket shape."""
+    mag = jnp.asarray(mag)
+    n_points = mag.shape[-1]
+    log_min, dlog = octave_grid(float(sr), float(params.min_f_scale), n_points)
+
+    def single(m):
+        s_oct = octave_scale_spectrum(
+            m, float(sr), float(params.min_f_scale), n_points
+        )
+        freqs, scores = shs_candidates(
+            s_oct, log_min, dlog, params.n_harmonics, params.compression,
+            params.n_candidates, (params.min_pitch, params.max_pitch),
+        )
+        voicing = _voicing_from_mag(m, float(sr), float(params.min_pitch))
+        return viterbi_smooth(freqs, scores, voicing, params)
+
+    f0, voc = jax.jit(jax.vmap(single))(mag)
+    f0 = np.asarray(f0)
+    voc = np.asarray(voc)
+    gate = np.asarray(frame_rms) >= energy_threshold
+    return np.where(gate, f0, 0.0), voc

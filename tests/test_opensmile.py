@@ -140,3 +140,22 @@ def test_extract_dataframe_and_failure_semantics(tmp_path):
     assert out.iloc[0]["filename"] == "01_CF56_1.wav"
     named = out.iloc[0]
     assert named["F0final_sma_amean"] > 50
+
+
+def test_batched_extraction_matches_serial():
+    import pandas as pd
+
+    ex = OpenSmileExtractor()
+    waves = {
+        f"f{i}.wav": _voiced_pulsed(1.0 + 0.1 * i, 120 + 10 * i) for i in range(4)
+    }
+    cols = feature_columns()
+    dfb = ex.extract_batch(waves, verbose=False)
+    dfs = ex.extract(waves, batched=False, verbose=False)
+    assert dfb.shape == dfs.shape == (4, 913)
+    a = dfb.set_index("filename").loc[sorted(waves)][cols].to_numpy()
+    b = dfs.set_index("filename").loc[sorted(waves)][cols].to_numpy()
+    # identical up to SHS/jitter boundary effects from shared-bucket padding
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-3)
+    assert np.nanmean(rel) < 1e-3
+    assert np.nanmedian(rel) < 1e-5
