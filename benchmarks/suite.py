@@ -58,11 +58,11 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
     from robust_speech_analysis_framework_tpu.features.opensmile import OpenSmileExtractor
 
     ex = OpenSmileExtractor()
-    files = [_speech(seconds, 120 + 15 * i, i) for i in range(n_files)]
-    ex.extract_single(files[0])  # compile
+    warm = {f"w{i}.wav": _speech(seconds, 140, 90 + i) for i in range(n_files)}
+    ex.extract_batch(warm, verbose=False)  # compile at the batch shape
+    waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
     t0 = time.perf_counter()
-    for x in files:
-        ex.extract_single(x)
+    ex.extract_batch(waves, verbose=False)
     dt = time.perf_counter() - t0
     return {
         "audio_seconds": n_files * seconds,

@@ -240,8 +240,10 @@ class OpenSmileExtractor:
                 mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(
                     jnp.asarray(stack)
                 )
+                # mag stays on device (the large intermediate); only the
+                # small F0/voicing contours come back to the host.
                 f0, voicing = shs_pitch_batch(
-                    np.asarray(mag), cfg.sample_rate, np.asarray(energy),
+                    mag, cfg.sample_rate, energy,
                     self.config.shs, self.config.energy_gate,
                 )
                 mfcc, energy = np.asarray(mfcc), np.asarray(energy)

@@ -67,18 +67,21 @@ def mark_periods(
         hi = int(t0 * (1 + search_range_rel)) + 1
         if pos + hi * 2 >= n:
             break
-        base = x[pos : pos + lo]
-        best_corr, best_len = -2.0, int(round(t0))
-        e_base = float(np.dot(base, base))
-        for T in range(lo, hi):
-            a = x[pos : pos + T]
-            b = x[pos + T : pos + 2 * T]
-            ea, eb = float(np.dot(a, a)), float(np.dot(b, b))
-            if ea <= 0 or eb <= 0:
-                continue
-            c = float(np.dot(a, b)) / np.sqrt(ea * eb)
-            if c > best_corr:
-                best_corr, best_len = c, T
+        # One vectorized normalized cross-correlation over the whole lag
+        # band: template = one expected period, searched against the next.
+        w0 = int(round(t0))
+        a = x[pos : pos + w0]
+        seg = x[pos + lo : pos + hi + w0]
+        corr = np.correlate(seg, a, mode="valid")  # corr[j] ↔ lag lo+j
+        sq = np.concatenate([[0.0], np.cumsum(seg * seg)])
+        e_b = sq[w0:] - sq[: len(sq) - w0]
+        e_b = e_b[: len(corr)]
+        e_a = float(np.dot(a, a))
+        denom = np.sqrt(np.maximum(e_a * e_b, 1e-30))
+        ncc = np.where(denom > 0, corr / denom, -2.0)
+        j = int(np.argmax(ncc))
+        best_corr = float(ncc[j])
+        best_len = lo + j
         starts.append(pos)
         lengths.append(best_len)
         amps.append(float(np.max(np.abs(x[pos : pos + best_len]))))
