@@ -57,6 +57,7 @@ class Wav2Vec2Extractor:
         batch_size: int = 16,
         normalize: bool = False,
         seed: int = 0,
+        mesh=None,
     ):
         self.config = config
         self.model = Wav2Vec2Model(config)
@@ -72,10 +73,30 @@ class Wav2Vec2Extractor:
                 jax.random.PRNGKey(seed), jnp.zeros((1, self.min_samples))
             )
         self.params = params
+        self.mesh = mesh
 
-        self._forward = jax.jit(
-            lambda p, wav, lengths: self.model.apply(p, wav, lengths=lengths)
-        )
+        fwd = lambda p, wav, lengths: self.model.apply(p, wav, lengths=lengths)
+        if mesh is not None:
+            # Data-parallel extraction: chunk batches shard over 'dp', the
+            # encoder weights shard over 'mp' per the framework rules; XLA
+            # inserts the collectives. batch_size must divide by dp size.
+            from ..parallel import batch_sharding, replicate, shard_params
+
+            if batch_size % mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by dp={mesh.shape['dp']}"
+                )
+            p_sh = shard_params(self.params, mesh)
+            self.params = jax.device_put(self.params, p_sh)
+            wav_sh = batch_sharding(mesh, ndim=2)
+            len_sh = batch_sharding(mesh, ndim=1)
+            self._forward = jax.jit(
+                fwd,
+                in_shardings=(p_sh, wav_sh, len_sh),
+                out_shardings=(batch_sharding(mesh, ndim=3), len_sh),
+            )
+        else:
+            self._forward = jax.jit(fwd)
 
     @classmethod
     def from_hf_checkpoint(cls, checkpoint_path_or_name: str, **kwargs):

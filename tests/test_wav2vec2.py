@@ -142,3 +142,25 @@ def test_mean_pool_embeddings():
     assert df.shape == (1, 769)
     assert "filename" in df.columns
     assert "dim_767" in df.columns
+
+
+def test_sharded_extraction_matches_unsharded():
+    """dp/mp-sharded chunk batches must produce identical embeddings."""
+    from robust_speech_analysis_framework_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    waves = {f"s{i}.wav": rng.normal(size=6 * sr).astype(np.float32) * 0.1
+             for i in range(3)}
+    base = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=4)
+    mesh = make_mesh(8, mp=2)
+    with mesh:
+        sharded = Wav2Vec2Extractor(
+            params=base.params, config=Wav2Vec2Config(num_layers=2),
+            batch_size=4, mesh=mesh,
+        )
+        out_sharded = sharded.extract_sequences(waves, verbose=False)
+    out_base = base.extract_sequences(waves, verbose=False)
+    assert set(out_sharded) == set(out_base)
+    for k in out_base:
+        np.testing.assert_allclose(out_sharded[k], out_base[k], atol=2e-4)
