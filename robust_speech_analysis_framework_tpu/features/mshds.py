@@ -266,28 +266,42 @@ def extract_mshds_features(
     audio_file_column: str = "filepath",
     verbose: bool = True,
     waveforms: Optional[Mapping[str, np.ndarray]] = None,
+    n_workers: int = 4,
 ) -> pd.DataFrame:
     """Corpus-level front door with the reference's API shape (:379-459):
     one row per file, 'filename' + 25 features, NaN row on failure.
 
     ``waveforms`` may supply pre-decoded 16 kHz mono audio keyed by
     filename (skips disk IO; used by the batched pipelines and tests).
+    Files are processed by a small thread pool — the host decision logic of
+    one file overlaps the device work of others, and the jitted ops are
+    shared (XLA compilation/execution is thread-safe).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..audio.io import load_mono_16k
 
-    rows = []
-    for _, row in input_df.iterrows():
-        path = row[audio_file_column]
-        name = os.path.basename(path)
+    names = [os.path.basename(p) for p in input_df[audio_file_column]]
+    paths = list(input_df[audio_file_column])
+
+    def one(idx: int) -> dict:
+        name = names[idx]
         try:
             if waveforms is not None and name in waveforms:
                 x = np.asarray(waveforms[name], dtype=np.float64)
             else:
-                x = load_mono_16k(path).astype(np.float64)
+                x = load_mono_16k(paths[idx]).astype(np.float64)
             feats = extract_mshds_single(x, 16000)
-            rows.append({"filename": name, **{k: feats.get(k, float("nan")) for k in FEATURE_NAMES}})
+            return {"filename": name,
+                    **{k: feats.get(k, float("nan")) for k in FEATURE_NAMES}}
         except Exception as e:
             if verbose:
                 print(f"ERROR processing '{name}': {e}. Appending NaNs.")
-            rows.append({"filename": name, **dict.fromkeys(FEATURE_NAMES, float("nan"))})
+            return {"filename": name, **dict.fromkeys(FEATURE_NAMES, float("nan"))}
+
+    if n_workers <= 1 or len(paths) <= 1:
+        rows = [one(i) for i in range(len(paths))]
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            rows = list(pool.map(one, range(len(paths))))
     return pd.DataFrame(rows)
