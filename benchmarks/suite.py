@@ -62,8 +62,10 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
     ex.extract_batch(warm, verbose=False)  # compile at the batch shape
     waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
     t0 = time.perf_counter()
-    ex.extract_batch(waves, verbose=False)
+    df = ex.extract_batch(waves, verbose=True)
     dt = time.perf_counter() - t0
+    if len(df) != n_files:
+        raise RuntimeError(f"extraction incomplete: {len(df)}/{n_files} rows")
     return {
         "audio_seconds": n_files * seconds,
         "wall_seconds": dt,
@@ -164,7 +166,10 @@ def main():
         ("cv_round", lambda: bench_cv(args.quick)),
     ]:
         t0 = time.perf_counter()
-        results[name] = fn()
+        try:
+            results[name] = fn()
+        except Exception as e:  # record and continue with other stages
+            results[name] = {"error": str(e)[:300]}
         results[name]["total_seconds"] = time.perf_counter() - t0
         print(f"{name}: {json.dumps(results[name])}")
 

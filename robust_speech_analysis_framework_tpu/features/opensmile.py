@@ -228,6 +228,8 @@ class OpenSmileExtractor:
             b = bucket_size(len(x), min_bucket=cfg.sample_rate // 2)
             groups.setdefault(b, []).append((name, x))
 
+        from ..utils.reliability import retry_transient
+
         rows = []
         for bucket, items in sorted(groups.items()):
             names = [n for n, _ in items]
@@ -237,58 +239,73 @@ class OpenSmileExtractor:
                 stack[i, : len(x)] = x
                 n_frames_true[i] = num_frames(len(x), cfg.frame_len, cfg.hop)
             try:
-                mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(
-                    jnp.asarray(stack)
-                )
-                # mag stays on device (the large intermediate); only the
-                # small F0/voicing contours come back to the host.
-                f0, voicing = shs_pitch_batch(
-                    mag, cfg.sample_rate, energy,
-                    self.config.shs, self.config.energy_gate,
-                )
-                mfcc, energy = np.asarray(mfcc), np.asarray(energy)
-                zcr, inten, spect = np.asarray(zcr), np.asarray(inten), np.asarray(spect)
-
-                llds = []
-                for i, (name, x) in enumerate(items):
-                    nt = int(n_frames_true[i])
-                    vq = jitter_shimmer_llds(
-                        x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
-                        hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
-                        search_range_rel=self.config.jitter_search_range,
-                    )
-                    llds.append(
-                        np.concatenate(
-                            [energy[i, :nt, None], mfcc[i, :nt],
-                             zcr[i, :nt, None], f0[i, :nt, None],
-                             voicing[i, :nt, None], inten[i, :nt], vq[:nt],
-                             spect[i, :nt]],
-                            axis=1,
+                rows.extend(
+                    retry_transient(
+                        lambda: self._process_bucket(
+                            items, names, stack, n_frames_true, cols
                         )
                     )
-                frame_bucket = max(bucket_size(len(l)) for l in llds)
-                lld_stack = np.zeros((len(llds), frame_bucket, llds[0].shape[1]), np.float32)
-                lengths = np.zeros(len(llds), np.int32)
-                for i, l in enumerate(llds):
-                    lld_stack[i, : len(l)] = l
-                    lengths[i] = len(l)
-                f_sma, f_de = self._summary_stage_batch(
-                    jnp.asarray(lld_stack), jnp.asarray(lengths)
                 )
-                f_sma, f_de = np.asarray(f_sma), np.asarray(f_de)
-                for i, name in enumerate(names):
-                    vec = np.concatenate(
-                        [f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)]
-                    )
-                    row = dict(zip(cols, vec.tolist()))
-                    row["filename"] = name
-                    rows.append(row)
             except Exception as e:
                 if verbose:
                     print(f"ERROR: batch bucket {bucket} failed: {e}")
         if not rows:
             return pd.DataFrame()
         return pd.DataFrame(rows)
+
+    def _process_bucket(self, items, names, stack, n_frames_true, cols):
+        """One bucket group through all stages → list of row dicts.
+
+        Idempotent (safe to retry on transient backend errors).
+        """
+        from ..ops.bucketing import bucket_size
+        from ..ops.shs_pitch import shs_pitch_batch
+
+        cfg = self.config.frontend
+        mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(
+            jnp.asarray(stack)
+        )
+        # mag stays on device (the large intermediate); only the small
+        # F0/voicing contours come back to the host.
+        f0, voicing = shs_pitch_batch(
+            mag, cfg.sample_rate, energy, self.config.shs, self.config.energy_gate,
+        )
+        mfcc, energy = np.asarray(mfcc), np.asarray(energy)
+        zcr, inten, spect = np.asarray(zcr), np.asarray(inten), np.asarray(spect)
+
+        llds = []
+        for i, (name, x) in enumerate(items):
+            nt = int(n_frames_true[i])
+            vq = jitter_shimmer_llds(
+                x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
+                hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
+                search_range_rel=self.config.jitter_search_range,
+            )
+            llds.append(
+                np.concatenate(
+                    [energy[i, :nt, None], mfcc[i, :nt], zcr[i, :nt, None],
+                     f0[i, :nt, None], voicing[i, :nt, None], inten[i, :nt],
+                     vq[:nt], spect[i, :nt]],
+                    axis=1,
+                )
+            )
+        frame_bucket = max(bucket_size(len(l)) for l in llds)
+        lld_stack = np.zeros((len(llds), frame_bucket, llds[0].shape[1]), np.float32)
+        lengths = np.zeros(len(llds), np.int32)
+        for i, l in enumerate(llds):
+            lld_stack[i, : len(l)] = l
+            lengths[i] = len(l)
+        f_sma, f_de = self._summary_stage_batch(
+            jnp.asarray(lld_stack), jnp.asarray(lengths)
+        )
+        f_sma, f_de = np.asarray(f_sma), np.asarray(f_de)
+        rows = []
+        for i, name in enumerate(names):
+            vec = np.concatenate([f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)])
+            row = dict(zip(cols, vec.tolist()))
+            row["filename"] = name
+            rows.append(row)
+        return rows
 
     def extract(
         self,

@@ -158,8 +158,12 @@ class Wav2Vec2Extractor:
                 batch = np.pad(batch, [(0, bs - len(sel)), (0, 0)])
                 lengths = np.pad(lengths, (0, bs - len(sel)),
                                  constant_values=self.min_samples)
-            hidden, out_lens = self._forward(
-                self.params, jnp.asarray(batch), jnp.asarray(lengths)
+            from ..utils.reliability import retry_transient
+
+            hidden, out_lens = retry_transient(
+                lambda: self._forward(
+                    self.params, jnp.asarray(batch), jnp.asarray(lengths)
+                )
             )
             hidden = np.asarray(hidden)
             out_lens = np.asarray(out_lens)

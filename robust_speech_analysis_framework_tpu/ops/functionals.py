@@ -89,9 +89,11 @@ def apply_functionals(x: jnp.ndarray) -> jnp.ndarray:
 
     var = jnp.mean((x - mean) ** 2, axis=0)
     std = jnp.sqrt(var)
-    std_safe = jnp.maximum(std, 1e-30)
-    skew = jnp.mean((x - mean) ** 3, axis=0) / std_safe**3
-    kurt = jnp.mean((x - mean) ** 4, axis=0) / std_safe**4
+    # zero-variance contours get 0 moments (1e-30 cubed underflows in f32)
+    std_safe = jnp.maximum(std, 1e-6)
+    degenerate = std < 1e-8
+    skew = jnp.where(degenerate, 0.0, jnp.mean((x - mean) ** 3, axis=0) / std_safe**3)
+    kurt = jnp.where(degenerate, 0.0, jnp.mean((x - mean) ** 4, axis=0) / std_safe**4)
 
     return jnp.stack(
         [mx, mn, mx - mn, max_pos, min_pos, mean,
@@ -179,9 +181,14 @@ def apply_functionals_masked(x: jnp.ndarray, length) -> jnp.ndarray:
 
     var = jnp.sum(((x - mean) ** 2) * mask, axis=0) / n
     std = jnp.sqrt(var)
-    std_safe = jnp.maximum(std, 1e-30)
-    skew = jnp.sum(((x - mean) ** 3) * mask, axis=0) / n / std_safe**3
-    kurt = jnp.sum(((x - mean) ** 4) * mask, axis=0) / n / std_safe**4
+    std_safe = jnp.maximum(std, 1e-6)
+    degenerate = std < 1e-8
+    skew = jnp.where(
+        degenerate, 0.0, jnp.sum(((x - mean) ** 3) * mask, axis=0) / n / std_safe**3
+    )
+    kurt = jnp.where(
+        degenerate, 0.0, jnp.sum(((x - mean) ** 4) * mask, axis=0) / n / std_safe**4
+    )
 
     return jnp.stack(
         [mx, mn, mx - mn, max_pos, min_pos, mean,

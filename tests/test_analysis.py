@@ -92,3 +92,24 @@ def test_tuned_param_summary():
     assert s.loc["learning_rate", "summary"] == pytest.approx(2e-4)
     assert s.loc["cnn_out_channels", "summary"] == 128
     assert s.loc["activation_fn", "summary"] == "silu"
+
+
+def test_plots_render(tmp_path):
+    from robust_speech_analysis_framework_tpu.eval.plots import save_all
+
+    rng = np.random.default_rng(5)
+    results = _fake_results()
+    for r in results.values():
+        r["predictions"] = [
+            {"y_true": rng.integers(0, 2, 20), "y_prob": rng.random(20)}
+            for _ in range(5)
+        ]
+    results["mshds_reading_standard"]["histories"] = [
+        {"train": [1.0, 0.8, 0.6], "val": [1.1, 0.9, 0.8]} for _ in range(2)
+    ]
+    written = save_all(results, str(tmp_path))
+    import os
+
+    assert {"f1_boxplot", "mean_roc", "optimism_bias", "loss_curves"} <= set(written)
+    for p in written.values():
+        assert os.path.getsize(p) > 1000
