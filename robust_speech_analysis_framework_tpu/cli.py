@@ -80,6 +80,24 @@ def _cmd_cnnlstm(args) -> int:
     return 0
 
 
+def _cmd_predict(args) -> int:
+    from .serving import Predictor
+    from .features.wav2vec2 import Wav2Vec2Extractor
+
+    extractor = None
+    if args.wav2vec2_checkpoint:
+        extractor = Wav2Vec2Extractor.from_hf_checkpoint(args.wav2vec2_checkpoint)
+    if args.reference_format:
+        predictor = Predictor.from_reference_checkpoint(args.model, extractor)
+    else:
+        predictor = Predictor.from_checkpoint(args.model, extractor)
+    out = predictor.predict_files(args.audio)
+    for name, pred in out.items():
+        print(f"{name}: {pred.label} (P(Patient)={pred.probability:.3f}, "
+              f"{pred.latency_seconds*1e3:.0f} ms)")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import runpy
     import os
@@ -124,6 +142,14 @@ def main(argv=None) -> int:
     p.add_argument("--force", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=_cmd_cnnlstm)
+
+    p = sub.add_parser("predict", help="classify audio files with a trained model")
+    p.add_argument("--model", required=True)
+    p.add_argument("audio", nargs="+")
+    p.add_argument("--reference-format", action="store_true",
+                   help="load a reference torch .pt checkpoint")
+    p.add_argument("--wav2vec2-checkpoint", default=None)
+    p.set_defaults(fn=_cmd_predict)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=_cmd_bench)
