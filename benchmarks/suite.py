@@ -148,28 +148,74 @@ def bench_cv(quick: bool) -> dict:
     return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt}
 
 
+STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",
+          "cnn_lstm_infer", "cv_round"]
+
+
+def run_stage(name: str, quick: bool) -> dict:
+    n_files = 3 if quick else 8
+    seconds = 5.0 if quick else 20.0
+    if name == "mshds_extract":
+        return bench_mshds(n_files, seconds)
+    if name == "opensmile_extract":
+        return bench_opensmile(n_files, seconds)
+    if name == "wav2vec2_extract":
+        return bench_wav2vec2(n_files, seconds)
+    if name == "cnn_lstm_infer":
+        return bench_cnn_lstm()
+    if name == "cv_round":
+        return bench_cv(quick)
+    raise ValueError(name)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--stage", default=None, help="run ONE stage inline")
+    parser.add_argument("--inline", action="store_true",
+                        help="run all stages in this process (no isolation)")
     args = parser.parse_args()
+
+    if args.stage:
+        result = run_stage(args.stage, args.quick)
+        print("STAGE_RESULT " + json.dumps(result))
+        return
+
+    import subprocess
+    import sys
 
     import jax
 
-    n_files = 3 if args.quick else 8
-    seconds = 5.0 if args.quick else 20.0
     results = {"backend": jax.default_backend()}
-    for name, fn in [
-        ("mshds_extract", lambda: bench_mshds(n_files, seconds)),
-        ("opensmile_extract", lambda: bench_opensmile(n_files, seconds)),
-        ("wav2vec2_extract", lambda: bench_wav2vec2(n_files, seconds)),
-        ("cnn_lstm_infer", bench_cnn_lstm),
-        ("cv_round", lambda: bench_cv(args.quick)),
-    ]:
+    for name in STAGES:
         t0 = time.perf_counter()
-        try:
-            results[name] = fn()
-        except Exception as e:  # record and continue with other stages
-            results[name] = {"error": str(e)[:300]}
+        if args.inline:
+            try:
+                results[name] = run_stage(name, args.quick)
+            except Exception as e:
+                results[name] = {"error": str(e)[:300]}
+        else:
+            # Each stage in its own process: a wedged device client (remote
+            # backends occasionally poison a process) can't sink the rest.
+            cmd = [sys.executable, "-m", "benchmarks.suite", "--stage", name]
+            if args.quick:
+                cmd.append("--quick")
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=3600,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines()
+                     if l.startswith("STAGE_RESULT ")), None,
+                )
+                if line:
+                    results[name] = json.loads(line[len("STAGE_RESULT "):])
+                else:
+                    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+                    results[name] = {"error": " | ".join(tail[-3:])[:300]}
+            except subprocess.TimeoutExpired:
+                results[name] = {"error": "stage timeout"}
         results[name]["total_seconds"] = time.perf_counter() - t0
         print(f"{name}: {json.dumps(results[name])}")
 

@@ -35,6 +35,18 @@ def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # leave headroom under the 16 MB core VMEM
+
+
+def _auto_block_t(per_step_bytes: int, requested: int) -> int:
+    """Largest power-of-two time block whose double-buffered pipeline fits
+    the VMEM budget (input+output blocks are double-buffered by Pallas)."""
+    block = requested
+    while block > 8 and 2 * block * per_step_bytes > _VMEM_BUDGET_BYTES:
+        block //= 2
+    return max(block, 8)
+
+
 def _kernel(gates_ref, wh_ref, out_ref, h_ref, c_ref, *, block_t: int):
     from jax.experimental import pallas as pl
 
@@ -79,6 +91,7 @@ def lstm_scan_pallas(
 
     t, b, four_h = gates.shape
     h_dim = four_h // 4
+    block_t = _auto_block_t(b * (four_h + h_dim) * 4, block_t)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         gates = jnp.pad(gates, ((0, t_pad - t), (0, 0), (0, 0)))
@@ -178,6 +191,7 @@ def lstm_scan_pallas_grouped(
 
     t, g, b, four_h = gates.shape
     h_dim = four_h // 4
+    block_t = _auto_block_t(g * b * (four_h + h_dim) * 4, block_t)
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         gates = jnp.pad(gates, ((0, t_pad - t), (0, 0), (0, 0), (0, 0)))
