@@ -118,10 +118,10 @@ class LSTMCellFused(nn.Module):
         # outputs beyond a sequence's length (attention masks them and the
         # backward gather stays in the valid prefix), so results agree
         # wherever they are used.
-        from ..ops.pallas.lstm import lstm_scan_pallas, pallas_available
+        from ..ops.pallas.lstm import lstm_recurrence, pallas_available
 
-        if pallas_available():
-            hs = lstm_scan_pallas(gates_x, wh)
+        if pallas_available() and lengths is None:
+            hs = lstm_recurrence(gates_x, wh)
             return jnp.swapaxes(hs, 0, 1)
 
         hs = _lstm_scan(gates_x, wh, lengths)
@@ -176,7 +176,7 @@ class BiLSTM(nn.Module):
         train: bool = False,
         lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        from ..ops.pallas.lstm import lstm_scan_pallas_grouped, pallas_available
+        from ..ops.pallas.lstm import lstm_recurrence_grouped, pallas_available
 
         h = x
         for layer in range(self.num_layers):
@@ -201,7 +201,7 @@ class BiLSTM(nn.Module):
                 g_b, wh_b = bwd_cell.gates_and_weights(bwd_in)
                 gates = jnp.stack([g_f, g_b], axis=1)  # (T, 2, B, 4H)
                 wh = jnp.stack([wh_f, wh_b], axis=0)  # (2, H, 4H)
-                hs = lstm_scan_pallas_grouped(gates, wh)  # (T, 2, B, H)
+                hs = lstm_recurrence_grouped(gates, wh)  # (T, 2, B, H)
                 fwd = jnp.swapaxes(hs[:, 0], 0, 1)
                 bwd = unflip(jnp.swapaxes(hs[:, 1], 0, 1))
             else:

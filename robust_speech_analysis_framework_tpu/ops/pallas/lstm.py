@@ -218,3 +218,59 @@ def lstm_scan_pallas_grouped(
         ],
     )(gates, wh)
     return out[:t]
+
+
+def lstm_scan_reference_grouped(gates: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
+    """Grouped twin of :func:`lstm_scan_reference`: (T,G,B,4H)+(G,H,4H)→(T,G,B,H)."""
+    outs = [
+        lstm_scan_reference(gates[:, g], wh[g]) for g in range(gates.shape[1])
+    ]
+    return jnp.stack(outs, axis=1)
+
+
+# --- differentiable wrappers -------------------------------------------------
+#
+# The Pallas kernels are forward-only (no JVP rule), so training wraps them in
+# a custom_vjp whose backward replays the lax.scan implementation and
+# differentiates that: inference gets the fast kernel, gradients are exactly
+# the scan's. (A dedicated backward kernel is a drop-in upgrade here.)
+
+
+@jax.custom_vjp
+def lstm_recurrence(gates: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
+    if pallas_available():
+        return lstm_scan_pallas(gates, wh)
+    return lstm_scan_reference(gates, wh)
+
+
+def _lstm_fwd(gates, wh):
+    return lstm_recurrence(gates, wh), (gates, wh)
+
+
+def _lstm_bwd(res, g):
+    gates, wh = res
+    _, vjp = jax.vjp(lstm_scan_reference, gates, wh)
+    return vjp(g)
+
+
+lstm_recurrence.defvjp(_lstm_fwd, _lstm_bwd)
+
+
+@jax.custom_vjp
+def lstm_recurrence_grouped(gates: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
+    if pallas_available():
+        return lstm_scan_pallas_grouped(gates, wh)
+    return lstm_scan_reference_grouped(gates, wh)
+
+
+def _lstm_grouped_fwd(gates, wh):
+    return lstm_recurrence_grouped(gates, wh), (gates, wh)
+
+
+def _lstm_grouped_bwd(res, g):
+    gates, wh = res
+    _, vjp = jax.vjp(lstm_scan_reference_grouped, gates, wh)
+    return vjp(g)
+
+
+lstm_recurrence_grouped.defvjp(_lstm_grouped_fwd, _lstm_grouped_bwd)

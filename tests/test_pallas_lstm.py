@@ -77,3 +77,32 @@ def test_pallas_kernel_compiled():
     out = np.asarray(lstm_scan_pallas(gates, wh, 128))
     ref = np.asarray(lstm_scan_reference(gates, wh))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_recurrence_wrappers_grad_on_cpu():
+    """custom_vjp wrappers must be differentiable and match direct scan grads."""
+    from robust_speech_analysis_framework_tpu.ops.pallas.lstm import (
+        lstm_recurrence,
+        lstm_recurrence_grouped,
+        lstm_scan_reference,
+        lstm_scan_reference_grouped,
+    )
+
+    rng = np.random.default_rng(3)
+    gates = jnp.asarray(rng.normal(size=(12, 2, 16)).astype(np.float32) * 0.5)
+    wh = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32) * 0.1)
+
+    def loss_w(f):
+        return lambda g, w: jnp.sum(f(g, w) ** 2)
+
+    g1 = jax.grad(loss_w(lstm_recurrence), argnums=(0, 1))(gates, wh)
+    g2 = jax.grad(loss_w(lstm_scan_reference), argnums=(0, 1))(gates, wh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    gates_g = jnp.stack([gates, gates * 0.5], axis=1)  # (T, 2, B, 4H)
+    wh_g = jnp.stack([wh, wh * 2.0], axis=0)
+    h1 = jax.grad(loss_w(lstm_recurrence_grouped), argnums=(0, 1))(gates_g, wh_g)
+    h2 = jax.grad(loss_w(lstm_scan_reference_grouped), argnums=(0, 1))(gates_g, wh_g)
+    for a, b in zip(h1, h2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
