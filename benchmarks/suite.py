@@ -96,9 +96,12 @@ def bench_cnn_lstm() -> dict:
 
     from robust_speech_analysis_framework_tpu.models import CNNLSTM
 
+    BATCH, SEQ_LEN, PAD_LEN, FPS = 32, 4378, 4480, 49.9
     model = CNNLSTM(input_dim=768, cnn_out_channels=128, lstm_hidden_dim=128)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 4480, 768)), jnp.float32)
-    lengths = jnp.full((32,), 4378, jnp.int32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, PAD_LEN, 768)), jnp.float32
+    )
+    lengths = jnp.full((BATCH,), SEQ_LEN, jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), x[:1, :256], train=False)
     fwd = jax.jit(lambda v, x, l: model.apply(v, x, train=False, lengths=l))
     np.asarray(fwd(variables, x, lengths))
@@ -108,8 +111,9 @@ def bench_cnn_lstm() -> dict:
         np.asarray(fwd(variables, x + jnp.float32(i * 1e-6), lengths))
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
-    audio = 32 * 4378 / 49.9
-    return {"p50_batch_seconds": p50, "audio_sec_per_sec": audio / p50}
+    audio = x.shape[0] * SEQ_LEN / FPS
+    return {"p50_batch_seconds": p50, "batch": int(x.shape[0]),
+            "audio_sec_per_sec": audio / p50}
 
 
 def bench_cv(quick: bool) -> dict:

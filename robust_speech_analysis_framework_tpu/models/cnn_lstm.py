@@ -114,10 +114,11 @@ class LSTMCellFused(nn.Module):
         # On TPU, the recurrence runs as a Pallas kernel: state and recurrent
         # weights stay in VMEM for the whole sequence instead of bouncing
         # through HBM every step (~2x latency win at flagship shapes). The
-        # kernel doesn't freeze state past `lengths`, but no consumer reads
-        # outputs beyond a sequence's length (attention masks them and the
-        # backward gather stays in the valid prefix), so results agree
-        # wherever they are used.
+        # kernel does NOT freeze state past `lengths`, and a standalone cell
+        # caller may read past-length outputs, so this path is gated to
+        # lengths=None here. (BiLSTM's grouped path uses the kernel even with
+        # lengths because there every consumer provably ignores past-length
+        # outputs — see the note there.)
         from ..ops.pallas.lstm import lstm_recurrence, pallas_available
 
         if pallas_available() and lengths is None:
@@ -196,7 +197,12 @@ class BiLSTM(nn.Module):
             if pallas_available():
                 # Both directions advance through ONE kernel: the sequential
                 # step count halves and the per-step recurrent matmul doubles
-                # in size (better MXU shape).
+                # in size (better MXU shape). Unlike the standalone cell, the
+                # kernel is safe here even with `lengths`: the unfrozen state
+                # past a sequence's end only affects outputs at past-length
+                # positions, which nothing downstream reads (attention masks
+                # them; the backward gather stays in the valid prefix; padding
+                # is trailing so later layers' valid frames never see it).
                 g_f, wh_f = fwd_cell.gates_and_weights(h)
                 g_b, wh_b = bwd_cell.gates_and_weights(bwd_in)
                 gates = jnp.stack([g_f, g_b], axis=1)  # (T, 2, B, 4H)

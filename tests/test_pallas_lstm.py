@@ -106,3 +106,25 @@ def test_recurrence_wrappers_grad_on_cpu():
     h2 = jax.grad(loss_w(lstm_scan_reference_grouped), argnums=(0, 1))(gates_g, wh_g)
     for a, b in zip(h1, h2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.skipif(not pallas_available(), reason="needs TPU backend")
+def test_recurrence_grad_through_pallas_forward():
+    """On TPU the custom_vjp pairs the Pallas forward with scan-replay
+    backward; gradients must equal the all-scan implementation."""
+    from robust_speech_analysis_framework_tpu.ops.pallas.lstm import (
+        lstm_recurrence,
+        lstm_scan_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    gates = jnp.asarray(rng.normal(size=(160, 8, 512)).astype(np.float32) * 0.5)
+    wh = jnp.asarray(rng.normal(size=(128, 512)).astype(np.float32) * 0.1)
+
+    def loss(f):
+        return lambda g, w: jnp.sum(f(g, w) ** 2)
+
+    g1 = jax.grad(loss(lstm_recurrence), argnums=(0, 1))(gates, wh)
+    g2 = jax.grad(loss(lstm_scan_reference), argnums=(0, 1))(gates, wh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
