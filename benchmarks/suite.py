@@ -39,17 +39,28 @@ def _speech(seconds: float, f0: float, seed: int) -> np.ndarray:
 
 
 def bench_mshds(n_files: int, seconds: float) -> dict:
-    from robust_speech_analysis_framework_tpu.features.mshds import extract_mshds_single
+    import pandas as pd
 
-    files = [_speech(seconds, 120 + 15 * i, i) for i in range(n_files)]
-    extract_mshds_single(files[0], SR)  # compile
+    from robust_speech_analysis_framework_tpu.features.mshds import (
+        extract_mshds_features,
+        extract_mshds_single,
+    )
+
+    waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
+    extract_mshds_single(next(iter(waves.values())), SR)  # compile
+    df_in = pd.DataFrame({"filepath": [f"/nonexistent/{n}" for n in waves]})
     t0 = time.perf_counter()
-    for x in files:
-        extract_mshds_single(x, SR)
+    out = extract_mshds_features(df_in, verbose=False, waveforms=waves, n_workers=8)
     dt = time.perf_counter() - t0
+    nan_rows = int(out["mean_F0"].isna().sum())
+    if nan_rows > n_files // 4:
+        # a wedged device client NaN-fills rows; let the isolated-stage retry
+        # rerun this in a fresh process
+        raise RuntimeError(f"mshds extraction produced {nan_rows} NaN rows")
     return {
         "audio_seconds": n_files * seconds,
         "wall_seconds": dt,
+        "nan_rows": nan_rows,
         "audio_sec_per_sec": n_files * seconds / dt,
     }
 
@@ -201,25 +212,27 @@ def main():
         else:
             # Each stage in its own process: a wedged device client (remote
             # backends occasionally poison a process) can't sink the rest.
+            # One retry per stage — a fresh process clears a wedged client.
             cmd = [sys.executable, "-m", "benchmarks.suite", "--stage", name]
             if args.quick:
                 cmd.append("--quick")
-            try:
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=3600,
-                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                )
-                line = next(
-                    (l for l in proc.stdout.splitlines()
-                     if l.startswith("STAGE_RESULT ")), None,
-                )
-                if line:
-                    results[name] = json.loads(line[len("STAGE_RESULT "):])
-                else:
+            for attempt in range(2):
+                try:
+                    proc = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=3600,
+                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    )
+                    line = next(
+                        (l for l in proc.stdout.splitlines()
+                         if l.startswith("STAGE_RESULT ")), None,
+                    )
+                    if line:
+                        results[name] = json.loads(line[len("STAGE_RESULT "):])
+                        break
                     tail = (proc.stderr or proc.stdout or "").strip().splitlines()
                     results[name] = {"error": " | ".join(tail[-3:])[:300]}
-            except subprocess.TimeoutExpired:
-                results[name] = {"error": "stage timeout"}
+                except subprocess.TimeoutExpired:
+                    results[name] = {"error": "stage timeout"}
         results[name]["total_seconds"] = time.perf_counter() - t0
         print(f"{name}: {json.dumps(results[name])}")
 
