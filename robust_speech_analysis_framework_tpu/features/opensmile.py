@@ -273,22 +273,26 @@ class OpenSmileExtractor:
         mfcc, energy = np.asarray(mfcc), np.asarray(energy)
         zcr, inten, spect = np.asarray(zcr), np.asarray(inten), np.asarray(spect)
 
-        llds = []
-        for i, (name, x) in enumerate(items):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def file_lld(i_item):
+            i, (name, x) = i_item
             nt = int(n_frames_true[i])
             vq = jitter_shimmer_llds(
                 x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
                 hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
                 search_range_rel=self.config.jitter_search_range,
             )
-            llds.append(
-                np.concatenate(
-                    [energy[i, :nt, None], mfcc[i, :nt], zcr[i, :nt, None],
-                     f0[i, :nt, None], voicing[i, :nt, None], inten[i, :nt],
-                     vq[:nt], spect[i, :nt]],
-                    axis=1,
-                )
+            return np.concatenate(
+                [energy[i, :nt, None], mfcc[i, :nt], zcr[i, :nt, None],
+                 f0[i, :nt, None], voicing[i, :nt, None], inten[i, :nt],
+                 vq[:nt], spect[i, :nt]],
+                axis=1,
             )
+
+        # period marching is host-side NumPy; fan it across a thread pool
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            llds = list(pool.map(file_lld, enumerate(items)))
         frame_bucket = max(bucket_size(len(l)) for l in llds)
         lld_stack = np.zeros((len(llds), frame_bucket, llds[0].shape[1]), np.float32)
         lengths = np.zeros(len(llds), np.int32)
