@@ -67,11 +67,12 @@ def burg_coeffs(frames: jnp.ndarray, order: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnums=(1,))
-def durand_kerner_roots(coeffs: jnp.ndarray, iters: int = 60) -> jnp.ndarray:
+def durand_kerner_roots(coeffs: jnp.ndarray, iters: int = 60):
     """Batched roots of monic polynomials z^m + c1 z^(m-1) + ... + cm.
 
     coeffs: (N, m) in descending power order (excluding the leading 1).
-    Returns (N, m) complex roots. Durand–Kerner with ring initialization.
+    Returns (real, imag) float arrays of shape (N, m) — the roots found by
+    Durand–Kerner iteration with ring initialization.
     """
     n, m = coeffs.shape
     c = coeffs.astype(jnp.complex64)
@@ -101,7 +102,9 @@ def durand_kerner_roots(coeffs: jnp.ndarray, iters: int = 60) -> jnp.ndarray:
         return z_new, None
 
     z, _ = jax.lax.scan(step, z, None, length=iters)
-    return z
+    # Return (real, imag) float pairs: some TPU backends cannot transfer
+    # complex arrays back to the host, and complex stays internal anyway.
+    return jnp.real(z), jnp.imag(z)
 
 
 class FormantTrack(NamedTuple):
@@ -174,11 +177,14 @@ def formant_track_burg(
 
     order = int(2 * max_formants)
     a = burg_coeffs(jnp.asarray(frames), order)
-    roots = np.asarray(durand_kerner_roots(a))[:n_frames]
+    roots_re, roots_im = durand_kerner_roots(a)
+    roots_re = np.asarray(roots_re)[:n_frames]
+    roots_im = np.asarray(roots_im)[:n_frames]
 
-    freq = np.abs(np.arctan2(roots.imag, roots.real)) * sr / (2 * np.pi)
-    bw = -np.log(np.maximum(np.abs(roots), 1e-12)) * sr / np.pi
-    valid = (freq > 50.0) & (freq < max_formant_hz - 50.0) & (roots.imag > 0)
+    freq = np.abs(np.arctan2(roots_im, roots_re)) * sr / (2 * np.pi)
+    mag_r = np.hypot(roots_re, roots_im)
+    bw = -np.log(np.maximum(mag_r, 1e-12)) * sr / np.pi
+    valid = (freq > 50.0) & (freq < max_formant_hz - 50.0) & (roots_im > 0)
 
     n_keep = int(max_formants)
     out_f = np.full((n_frames, n_keep), np.nan)

@@ -43,8 +43,8 @@ def test_durand_kerner_known_roots():
     # (z-0.5)(z+0.25)(z-0.1j)(z+0.1j) → coeffs
     roots_true = np.array([0.5, -0.25, 0.1j, -0.1j])
     coeffs = np.poly(roots_true)  # leading 1
-    z = np.asarray(durand_kerner_roots(jnp.asarray(coeffs[None, 1:].real + 0.0)))[0]
-    got = np.sort_complex(z)
+    re, im = durand_kerner_roots(jnp.asarray(coeffs[None, 1:].real + 0.0))
+    got = np.asarray(re)[0] + 1j * np.asarray(im)[0]
     expect = np.sort_complex(roots_true)
     assert np.max(np.abs(np.sort(np.abs(got)) - np.sort(np.abs(expect)))) < 1e-3
 
