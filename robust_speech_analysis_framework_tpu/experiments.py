@@ -63,9 +63,12 @@ def extract_all_features(
     Returns {artifact key: path}. Cached artifacts are skipped when
     ``skip_existing`` (the reference's idempotency contract, nb01 cell 8).
     """
+    from .utils.profiling import ThroughputMeter, stage_timer
+
     os.makedirs(out_dir, exist_ok=True)
     reading_df, interview_df = load_androids_corpus(corpus_dir, verbose=verbose)
     paths: Dict[str, str] = {}
+    meter = ThroughputMeter()
 
     def artifact(name):
         p = os.path.join(out_dir, name)
@@ -77,11 +80,13 @@ def extract_all_features(
 
         p, cached = artifact("features_mshds_reading_task.csv")
         if not cached:
-            feats = extract_mshds_features(reading_df, verbose=verbose)
+            with stage_timer(meter, "mshds/reading", items=len(reading_df)):
+                feats = extract_mshds_features(reading_df, verbose=verbose)
             _merge_with_metadata(feats, reading_df).to_csv(p, index=False)
         p, cached = artifact("features_mshds_interview_task_aggregated.csv")
         if not cached:
-            clip_feats = extract_mshds_features(interview_df, verbose=verbose)
+            with stage_timer(meter, "mshds/interview", items=len(interview_df)):
+                clip_feats = extract_mshds_features(interview_df, verbose=verbose)
             aggregate_clip_features(clip_feats, interview_df).to_csv(p, index=False)
 
     if "opensmile" in features:
@@ -90,11 +95,13 @@ def extract_all_features(
         cfg = opensmile_config or OpenSmileConfig()
         p, cached = artifact("features_opensmile_reading_task.csv")
         if not cached:
-            feats = extract_opensmile_features(reading_df, cfg, verbose=verbose)
+            with stage_timer(meter, "opensmile/reading", items=len(reading_df)):
+                feats = extract_opensmile_features(reading_df, cfg, verbose=verbose)
             _merge_with_metadata(feats, reading_df).to_csv(p, index=False)
         p, cached = artifact("features_opensmile_interview_task_aggregated.csv")
         if not cached:
-            clip_feats = extract_opensmile_features(interview_df, cfg, verbose=verbose)
+            with stage_timer(meter, "opensmile/interview", items=len(interview_df)):
+                clip_feats = extract_opensmile_features(interview_df, cfg, verbose=verbose)
             aggregate_clip_features(clip_feats, interview_df).to_csv(p, index=False)
 
     if "wav2vec2" in features:
@@ -104,12 +111,14 @@ def extract_all_features(
         # sequence pickles feed the CNN-LSTM experiments
         p, cached = artifact("sequences_wav2vec2_reading.pkl")
         if not cached:
-            seqs = extract_wav2vec2_sequences(reading_df, extractor=ex, verbose=verbose)
+            with stage_timer(meter, "wav2vec2/reading", items=len(reading_df)):
+                seqs = extract_wav2vec2_sequences(reading_df, extractor=ex, verbose=verbose)
             with open(p, "wb") as fh:
                 pickle.dump(seqs, fh)
         p, cached = artifact("sequences_wav2vec2_interview.pkl")
         if not cached:
-            seqs = extract_wav2vec2_sequences(interview_df, extractor=ex, verbose=verbose)
+            with stage_timer(meter, "wav2vec2/interview", items=len(interview_df)):
+                seqs = extract_wav2vec2_sequences(interview_df, extractor=ex, verbose=verbose)
             with open(p, "wb") as fh:
                 pickle.dump(seqs, fh)
 
@@ -127,6 +136,8 @@ def extract_all_features(
             emb = _mean_pool_frame(seqs)
             aggregate_clip_features(emb, interview_df).to_csv(p, index=False)
 
+    if verbose and meter.stages:
+        print("extraction throughput:\n" + meter.report())
     return paths
 
 
