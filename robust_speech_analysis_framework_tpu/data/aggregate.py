@@ -26,7 +26,7 @@ def aggregate_clip_features(
     src/utils.py:36-58 (including the doubled feature dimensionality:
     25→50, 911→1822, 768→1536).
     """
-    if clip_features_df.empty:
+    if clip_features_df.empty or metadata_df.empty:
         return pd.DataFrame()
     keys = metadata_df[["filename", "unique_participant_id"]]
     merged = keys.merge(clip_features_df, on="filename").drop(columns=["filename"])
@@ -44,6 +44,8 @@ def aggregate_interview_sequences(
     skipped; participants with no surviving clips are omitted, matching
     reference src/utils.py:81-96. Concatenation follows metadata row order.
     """
+    if interview_metadata_df.empty:
+        return {}
     by_participant = interview_metadata_df.groupby("unique_participant_id")[
         "filename"
     ].apply(list)
