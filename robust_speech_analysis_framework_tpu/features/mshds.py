@@ -281,6 +281,9 @@ def extract_mshds_features(
 
     from ..audio.io import load_mono_16k
 
+    if input_df.empty:
+        return pd.DataFrame(columns=["filename"] + FEATURE_NAMES)
+
     names = [os.path.basename(p) for p in input_df[audio_file_column]]
     paths = list(input_df[audio_file_column])
 

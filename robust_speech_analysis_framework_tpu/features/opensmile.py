@@ -348,6 +348,9 @@ def extract_opensmile_features(
     feature columns; files that fail are dropped with a logged error."""
     from ..audio.io import load_mono_16k
 
+    if input_df.empty:
+        return pd.DataFrame(columns=["filename"] + feature_columns())
+
     ex = OpenSmileExtractor(config)
     wavs: Dict[str, np.ndarray] = {}
     for path in input_df[audio_file_column]:
