@@ -66,7 +66,9 @@ def speaker_pitch_range(x: np.ndarray, sr: float):
         return 75, 500
 
 
-def speechrate_features(x: np.ndarray, sr: float) -> Dict[str, float]:
+def speechrate_features(
+    x: np.ndarray, sr: float, pitch: "PitchTrack | None" = None
+) -> Dict[str, float]:
     """de Jong & Wempe syllable-nuclei speech-rate analysis (reference
     :11-122): intensity-peak syllable candidates above a quantile-based
     silence threshold, validated by a ≥2 dB following dip and voicing."""
@@ -117,11 +119,12 @@ def speechrate_features(x: np.ndarray, sr: float) -> Dict[str, float]:
                 current_t = timepeaks[p + 1]
                 current_i = intensity.value_at_time(timepeaks[p + 1])
 
-        pitch = pitch_track_ac(
-            x, sr, time_step=0.02, floor=30, ceiling=450, max_candidates=4,
-            silence_threshold=0.03, voicing_threshold=0.25, octave_cost=0.01,
-            octave_jump_cost=0.35, voiced_unvoiced_cost=0.25,
-        )
+        if pitch is None:
+            pitch = pitch_track_ac(
+                x, sr, time_step=0.02, floor=30, ceiling=450, max_candidates=4,
+                silence_threshold=0.03, voicing_threshold=0.25, octave_cost=0.01,
+                octave_jump_cost=0.35, voiced_unvoiced_cost=0.25,
+            )
         n_syll = 0
         for time in validtime:
             f = pitch.value_at_time(time)
@@ -142,16 +145,28 @@ def speechrate_features(x: np.ndarray, sr: float) -> Dict[str, float]:
         return nan5
 
 
-def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
-    """All 25 MSHDS features for one mono 16 kHz waveform."""
-    out: Dict[str, float] = {}
-    out.update(speechrate_features(x, sr))
+def extract_mshds_single(
+    x: np.ndarray,
+    sr: float = 16000,
+    precomputed: Optional[Dict[str, object]] = None,
+    pitch_range: Optional[tuple] = None,
+) -> Dict[str, float]:
+    """All 25 MSHDS features for one mono 16 kHz waveform.
 
-    floor, ceiling = speaker_pitch_range(x, sr)
+    ``precomputed`` may carry pitch tracks produced by the corpus-batched
+    front end (keys: 'speechrate', 'main', 'cc', 'cpp'); ``pitch_range``
+    overrides the adaptive floor/ceiling (both supplied by
+    :func:`extract_mshds_batch`).
+    """
+    pre = precomputed or {}
+    out: Dict[str, float] = {}
+    out.update(speechrate_features(x, sr, pitch=pre.get("speechrate")))
+
+    floor, ceiling = pitch_range or speaker_pitch_range(x, sr)
 
     # Pitch statistics (reference :164-183).
     try:
-        pitch = retry_transient(lambda: pitch_track_ac(
+        pitch = pre.get("main") or retry_transient(lambda: pitch_track_ac(
             x, sr, time_step=0.005, floor=floor, ceiling=ceiling))
         out["mean_F0"] = pitch.mean_hz()
         out["stdev_F0_Semitone"] = pitch.std_semitones()
@@ -181,7 +196,8 @@ def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
 
     # LTAS slope + tilt (reference :227-251).
     try:
-        pcc = pitch_track_cc(x, sr, time_step=0.005, floor=floor, ceiling=ceiling)
+        pcc = pre.get("cc") or pitch_track_cc(
+            x, sr, time_step=0.005, floor=floor, ceiling=ceiling)
         pulses = point_process_cc(x, sr, pcc)
         lt = ltas_pitch_corrected(x, sr, pulses)
         out["Spectral_Slope"] = lt.slope_db(50, 1000, 1000, 4000)
@@ -192,7 +208,7 @@ def extract_mshds_single(x: np.ndarray, sr: float = 16000) -> Dict[str, float]:
 
     # CPPS over voiced segments (reference :253-301).
     try:
-        p_v = pitch_track_ac(
+        p_v = pre.get("cpp") or pitch_track_ac(
             x, sr, time_step=0.005, floor=floor, ceiling=ceiling,
             voicing_threshold=0.3,
         )
@@ -307,4 +323,99 @@ def extract_mshds_features(
     else:
         with ThreadPoolExecutor(max_workers=n_workers) as pool:
             rows = list(pool.map(one, range(len(paths))))
+    return pd.DataFrame(rows)
+
+
+def extract_mshds_batch(
+    waveforms: Mapping[str, np.ndarray],
+    sr: float = 16000,
+    n_workers: int = 4,
+    verbose: bool = True,
+) -> pd.DataFrame:
+    """Corpus-batched MSHDS extraction.
+
+    The pitch analyses — four per file, the dominant device cost — run as
+    corpus-level batches (ops.pitch.pitch_track_batch): the wide
+    speaker-adaptation pass and the fixed-parameter speech-rate pass batch
+    across ALL files; the range-adapted passes batch per (floor, ceiling)
+    group (only three possible ranges). Remaining per-file analyses reuse the
+    precomputed tracks through :func:`extract_mshds_single`.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.pitch import PitchParams, pitch_track_batch
+
+    names = list(waveforms.keys())
+    xs = [np.asarray(waveforms[n], dtype=np.float64).reshape(-1) for n in names]
+    if not names:
+        return pd.DataFrame(columns=["filename"] + FEATURE_NAMES)
+
+    # 1) wide speaker-adaptation pass, batched over every file (:141-162).
+    wide = pitch_track_batch(
+        xs, sr, PitchParams(time_step=0.005, floor=50, ceiling=600)
+    )
+    ranges = []
+    for track in wide:
+        v = track.f0[track.f0 > 0]
+        if v.size == 0:
+            ranges.append((75, 500))
+            continue
+        z = (v - v.mean()) / max(v.std(), 1e-12)
+        v = v[np.abs(z) <= 2]
+        if v.size == 0:
+            ranges.append((75, 500))
+        else:
+            ranges.append((60, 250) if v.mean() < 170 else (100, 500))
+
+    # 2) fixed-parameter speech-rate pass, batched over every file (:104).
+    speechrate_tracks = pitch_track_batch(
+        xs, sr,
+        PitchParams(
+            time_step=0.02, floor=30, ceiling=450, max_candidates=4,
+            silence_threshold=0.03, voicing_threshold=0.25, octave_cost=0.01,
+            octave_jump_cost=0.35, voiced_unvoiced_cost=0.25,
+        ),
+    )
+
+    # 3) range-adapted passes, batched per (floor, ceiling) group.
+    precomputed = [dict(speechrate=speechrate_tracks[i]) for i in range(len(xs))]
+    groups: Dict[tuple, list] = {}
+    for i, rng_ in enumerate(ranges):
+        groups.setdefault(rng_, []).append(i)
+    for (floor, ceiling), idxs in groups.items():
+        grp = [xs[i] for i in idxs]
+        main = pitch_track_batch(
+            grp, sr, PitchParams(time_step=0.005, floor=floor, ceiling=ceiling)
+        )
+        cc = pitch_track_batch(
+            grp, sr,
+            PitchParams(time_step=0.005, floor=floor, ceiling=ceiling, method="cc"),
+        )
+        cpp = pitch_track_batch(
+            grp, sr,
+            PitchParams(time_step=0.005, floor=floor, ceiling=ceiling,
+                        voicing_threshold=0.3),
+        )
+        for j, i in enumerate(idxs):
+            precomputed[i].update(main=main[j], cc=cc[j], cpp=cpp[j])
+
+    # 4) remaining per-file analyses, thread pool as in the serial path.
+    def one(i: int) -> dict:
+        name = names[i]
+        try:
+            feats = extract_mshds_single(
+                xs[i], sr, precomputed=precomputed[i], pitch_range=ranges[i]
+            )
+            return {"filename": name,
+                    **{k: feats.get(k, float("nan")) for k in FEATURE_NAMES}}
+        except Exception as e:
+            if verbose:
+                print(f"ERROR processing '{name}': {e}. Appending NaNs.")
+            return {"filename": name, **dict.fromkeys(FEATURE_NAMES, float("nan"))}
+
+    if n_workers <= 1 or len(xs) <= 1:
+        rows = [one(i) for i in range(len(xs))]
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            rows = list(pool.map(one, range(len(xs))))
     return pd.DataFrame(rows)

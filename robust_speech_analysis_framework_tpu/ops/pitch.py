@@ -146,20 +146,22 @@ def _normalized_autocorr(
     return r, local_peak
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def _find_candidates(
     r: jnp.ndarray,
     local_peak: jnp.ndarray,
+    global_peak: jnp.ndarray,
     sr: float,
     params_tuple: tuple,
-    max_cands: int,
+    max_cands: int = 15,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top pitch candidates per frame.
 
     Returns (freqs (N, C), strengths (N, C)); slot 0 is the unvoiced
-    candidate with frequency 0.
+    candidate with frequency 0. ``global_peak`` is traced (per-file value;
+    keeping it out of the static signature avoids a recompile per file).
     """
-    (floor, ceiling, silence_t, voicing_t, octave_c, global_peak) = params_tuple
+    (floor, ceiling, silence_t, voicing_t, octave_c) = params_tuple
     n_frames, n_lags = r.shape
     lag_min = int(math.floor(sr / ceiling))
     lag_max = int(math.ceil(sr / floor))
@@ -322,6 +324,7 @@ def _pitch_track(x: np.ndarray, sr: float, params: PitchParams) -> PitchTrack:
     freqs, strengths, rvals = _find_candidates(
         r,
         local_peak,
+        jnp.asarray(global_peak, jnp.float32),
         float(sr),
         (
             float(params.floor),
@@ -329,7 +332,6 @@ def _pitch_track(x: np.ndarray, sr: float, params: PitchParams) -> PitchTrack:
             float(params.silence_threshold),
             float(params.voicing_threshold),
             float(params.octave_cost),
-            global_peak,
         ),
         params.max_candidates,
     )
@@ -407,3 +409,163 @@ def pitch_track_cc(
             **kwargs,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-batched pitch analysis
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _gathered_autocorr(x_cat, starts, win_len, n_fft, max_lag, window_kind="hanning"):
+    """Device-side framing + normalized autocorrelation: the host uploads the
+    concatenated waveform (small) and per-frame start indices instead of the
+    materialized frame matrix (~win_len× larger)."""
+    idx = starts[:, None] + jnp.arange(win_len)[None, :]
+    frames = x_cat[idx]
+    return _normalized_autocorr(frames, n_fft, max_lag, window_kind)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _gathered_crosscorr(x_cat, starts, ext, win_len_max_lag):
+    win_len, max_lag = win_len_max_lag
+    idx = starts[:, None] + jnp.arange(ext)[None, :]
+    return _forward_crosscorr(x_cat[idx], win_len, max_lag)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _viterbi_batch(freqs, strengths, trans_scale, costs):
+    """vmapped :func:`_viterbi` over (N, T, C) candidate stacks."""
+    return jax.vmap(lambda f, s: _viterbi(f, s, trans_scale, costs))(
+        freqs, strengths
+    )
+
+
+def pitch_track_batch(
+    xs, sr: float, params: PitchParams
+) -> "list[PitchTrack]":
+    """Batched pitch analysis over many waveforms at once.
+
+    The frame-parallel core (normalized autocorrelation / cross-correlation
+    + candidate extraction) runs ONCE over the concatenation of every file's
+    frames — file boundaries are irrelevant to per-frame work — and only the
+    per-file Viterbi smoothing is vmapped over a padded (N, T_max, C) stack.
+    Equivalent to calling :func:`pitch_track_ac`/``_cc`` per file (same
+    cores, same parameters), at a fraction of the dispatch/compile cost.
+    """
+    from .bucketing import pad_frames
+
+    xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
+    dt = params.dt
+    window_s = params.periods_per_window / params.floor
+    win_len = int(round(window_s * sr))
+    max_lag = int(math.ceil(sr / params.floor)) + 2
+    n_fft = 1 << int(np.ceil(np.log2(win_len + max_lag + 1)))
+
+    ext = win_len + max_lag
+    metas = []  # (n_frames, centers, global_peak)
+    start_blocks = []
+    cat_pieces = []
+    offset = 0
+    for x in xs:
+        n_frames, t0 = praat_frame_grid(len(x), sr, window_s, dt)
+        centers = t0 + np.arange(n_frames) * dt
+        global_peak = float(np.max(np.abs(x - x.mean()))) if len(x) else 1e-30
+        metas.append((n_frames, centers, global_peak or 1e-30))
+        if n_frames < 1:
+            continue
+        # Each file is padded so any window/extension stays inside its own
+        # region of the concatenated buffer.
+        piece = np.pad(x, (0, ext)).astype(np.float32)
+        if params.method == "cc":
+            starts = np.clip(
+                np.round(centers * sr - win_len / 2).astype(int),
+                0, max(len(piece) - ext, 0),
+            )
+        else:
+            starts = np.clip(
+                np.round(centers * sr - win_len / 2).astype(int),
+                0, max(len(x) - win_len, 0),
+            )
+        start_blocks.append(starts + offset)
+        cat_pieces.append(piece)
+        offset += len(piece)
+
+    if not start_blocks:
+        return [PitchTrack(m[1], np.zeros(m[0]), np.zeros(m[0])) for m in metas]
+
+    x_cat = jnp.asarray(np.concatenate(cat_pieces))
+    all_starts = np.concatenate(start_blocks)
+    # Bucket the frame count; padded rows re-gather the first frame (results
+    # for them are discarded when splitting per file below).
+    starts_padded, n_total = pad_frames(all_starts.astype(np.int32)[:, None])
+    starts_j = jnp.asarray(starts_padded[:, 0])
+    if params.method == "cc":
+        r_all, peak_all = _gathered_crosscorr(
+            x_cat, starts_j, ext, (win_len, max_lag)
+        )
+    else:
+        window_kind = "gaussian" if params.very_accurate else "hanning"
+        r_all, peak_all = _gathered_autocorr(
+            x_cat, starts_j, win_len, n_fft, max_lag, window_kind
+        )
+
+    # Candidate extraction per file (needs each file's own global peak), then
+    # pad to a common T for the vmapped Viterbi.
+    tracks: "list[PitchTrack]" = []
+    cursor = 0
+    cand_f, cand_s, cand_r, lengths = [], [], [], []
+    for n_frames, centers, global_peak in metas:
+        if n_frames < 1:
+            cand_f.append(None)
+            continue
+        r = r_all[cursor : cursor + n_frames]
+        peak = peak_all[cursor : cursor + n_frames]
+        cursor += n_frames
+        freqs, strengths, rvals = _find_candidates(
+            r, peak, jnp.asarray(global_peak, jnp.float32), float(sr),
+            (float(params.floor), float(params.ceiling),
+             float(params.silence_threshold), float(params.voicing_threshold),
+             float(params.octave_cost)),
+            params.max_candidates,
+        )
+        strengths = jnp.where(freqs > params.ceiling, -1e30, strengths)
+        cand_f.append(np.asarray(freqs))
+        cand_s.append(np.asarray(strengths))
+        cand_r.append(np.asarray(rvals))
+        lengths.append(n_frames)
+
+    live = [i for i, f in enumerate(cand_f) if f is not None]
+    if live:
+        t_max = pad_frames(np.zeros((max(lengths), 1)))[0].shape[0]
+        c = cand_f[live[0]].shape[1]
+        fs = np.zeros((len(live), t_max, c), np.float32)
+        ss = np.full((len(live), t_max, c), -1e30, np.float32)
+        for j, i in enumerate(live):
+            t_i = cand_f[i].shape[0]
+            fs[j, :t_i] = cand_f[i]
+            ss[j, :t_i] = cand_s[i]
+            # edge-replicate the last real frame into the padding so the
+            # Viterbi path continues smoothly and the boundary frame's
+            # decision matches the unpadded run (same convention as the
+            # single-file path's pad_frames)
+            fs[j, t_i:] = cand_f[i][-1]
+            ss[j, t_i:] = cand_s[i][-1]
+        trans_scale = jnp.asarray(dt / 0.01)
+        paths = np.asarray(
+            _viterbi_batch(
+                jnp.asarray(fs), jnp.asarray(ss), trans_scale,
+                (float(params.octave_jump_cost), float(params.voiced_unvoiced_cost)),
+            )
+        )
+
+    k = 0
+    for i, (n_frames, centers, _) in enumerate(metas):
+        if cand_f[i] is None:
+            tracks.append(PitchTrack(centers, np.zeros(n_frames), np.zeros(n_frames)))
+            continue
+        idx = paths[k, :n_frames]
+        f0 = cand_f[i][np.arange(n_frames), idx]
+        st = cand_r[i][np.arange(n_frames), idx]
+        tracks.append(PitchTrack(centers, f0, st))
+        k += 1
+    return tracks

@@ -85,3 +85,26 @@ def test_waveform_injection(speech):
         df_in, verbose=False, waveforms={"a.wav": speech}
     )
     assert np.isfinite(out.iloc[0]["mean_F0"])
+
+
+def test_batch_extraction_matches_serial(speech):
+    """Corpus-batched MSHDS (shared pitch passes) == per-file extraction."""
+    from robust_speech_analysis_framework_tpu.features.mshds import (
+        extract_mshds_batch,
+    )
+
+    waves = {
+        "a.wav": speech,
+        "b.wav": _speechlike(f0_base=200, seed=3),
+    }
+    dfb = extract_mshds_batch(waves, SR, n_workers=1, verbose=False).set_index(
+        "filename"
+    )
+    for name, x in waves.items():
+        ref = extract_mshds_single(np.asarray(x), SR)
+        for k, v in ref.items():
+            got = dfb.loc[name, k]
+            if np.isnan(v):
+                assert np.isnan(got), (name, k)
+            else:
+                assert got == pytest.approx(v, rel=1e-4, abs=1e-6), (name, k)
