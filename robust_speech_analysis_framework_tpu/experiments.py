@@ -75,18 +75,44 @@ def extract_all_features(
         paths[name] = p
         return p, (skip_existing and os.path.exists(p))
 
+    def _decoded(df):
+        """Native batch decode; files that fail stay absent (extractors apply
+        their reference failure semantics for missing waveforms)."""
+        from .audio.native_io import load_corpus_mono_16k
+
+        if df.empty:
+            return {}
+        return load_corpus_mono_16k(list(df["filepath"]))
+
     if "mshds" in features:
-        from .features.mshds import extract_mshds_features
+        from .features.mshds import FEATURE_NAMES, extract_mshds_batch
+
+        def _mshds(df):
+            waves = _decoded(df)
+            out = extract_mshds_batch(waves, verbose=verbose)
+            # NaN rows for undecodable files (reference contract,
+            # src/mshds_extractor.py:450-457)
+            missing = [] if df.empty else [
+                os.path.basename(f) for f in df["filepath"]
+                if os.path.basename(f) not in waves
+            ]
+            if missing:
+                nan_rows = pd.DataFrame(
+                    [{"filename": m, **dict.fromkeys(FEATURE_NAMES, float("nan"))}
+                     for m in missing]
+                )
+                out = pd.concat([out, nan_rows], ignore_index=True)
+            return out
 
         p, cached = artifact("features_mshds_reading_task.csv")
         if not cached:
             with stage_timer(meter, "mshds/reading", items=len(reading_df)):
-                feats = extract_mshds_features(reading_df, verbose=verbose)
+                feats = _mshds(reading_df)
             _merge_with_metadata(feats, reading_df).to_csv(p, index=False)
         p, cached = artifact("features_mshds_interview_task_aggregated.csv")
         if not cached:
             with stage_timer(meter, "mshds/interview", items=len(interview_df)):
-                clip_feats = extract_mshds_features(interview_df, verbose=verbose)
+                clip_feats = _mshds(interview_df)
             aggregate_clip_features(clip_feats, interview_df).to_csv(p, index=False)
 
     if "opensmile" in features:
@@ -96,12 +122,18 @@ def extract_all_features(
         p, cached = artifact("features_opensmile_reading_task.csv")
         if not cached:
             with stage_timer(meter, "opensmile/reading", items=len(reading_df)):
-                feats = extract_opensmile_features(reading_df, cfg, verbose=verbose)
+                feats = extract_opensmile_features(
+                    reading_df, cfg, verbose=verbose,
+                    waveforms=_decoded(reading_df),
+                )
             _merge_with_metadata(feats, reading_df).to_csv(p, index=False)
         p, cached = artifact("features_opensmile_interview_task_aggregated.csv")
         if not cached:
             with stage_timer(meter, "opensmile/interview", items=len(interview_df)):
-                clip_feats = extract_opensmile_features(interview_df, cfg, verbose=verbose)
+                clip_feats = extract_opensmile_features(
+                    interview_df, cfg, verbose=verbose,
+                    waveforms=_decoded(interview_df),
+                )
             aggregate_clip_features(clip_feats, interview_df).to_csv(p, index=False)
 
     if "wav2vec2" in features:
