@@ -516,7 +516,10 @@ def pitch_track_batch(
     cand_f, cand_s, cand_r, lengths = [], [], [], []
     for n_frames, centers, global_peak in metas:
         if n_frames < 1:
+            # keep every per-file list index-aligned with `metas`
             cand_f.append(None)
+            cand_s.append(None)
+            cand_r.append(None)
             continue
         r = r_all[cursor : cursor + n_frames]
         peak = peak_all[cursor : cursor + n_frames]

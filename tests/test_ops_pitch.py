@@ -98,3 +98,22 @@ def test_hnr_silence_undefined():
     h = harmonicity_cc(x, SR, 0.005, 75)
     early = h.hnr_db[h.times < 0.4]
     assert np.isnan(early).mean() > 0.8
+
+
+def test_pitch_track_batch_matches_serial_and_handles_short_files():
+    from robust_speech_analysis_framework_tpu.ops.pitch import (
+        PitchParams,
+        pitch_track_batch,
+    )
+
+    v = harmonic(150)
+    xs = [v[:100], v, v[:50], 0.5 * harmonic(220)]  # short files interleaved
+    tracks = pitch_track_batch(
+        xs, SR, PitchParams(time_step=0.01, floor=75, ceiling=500)
+    )
+    assert len(tracks[0].f0) == 0 and len(tracks[2].f0) == 0
+    for i in (1, 3):
+        ref = pitch_track_ac(xs[i], SR, time_step=0.01, floor=75, ceiling=500)
+        assert ((tracks[i].f0 > 0) == (ref.f0 > 0)).all()
+        both = (ref.f0 > 0) & (tracks[i].f0 > 0)
+        np.testing.assert_allclose(tracks[i].f0[both], ref.f0[both], atol=1e-3)
