@@ -24,7 +24,7 @@ FRAMES_PER_SECOND = 49.9
 SEQ_LEN = 4378
 PAD_LEN = 4480  # padded to a multiple of 128 frames for clean tiling
 DIM = 768
-BATCH = 32
+BATCH = 128
 REPS = 5
 
 

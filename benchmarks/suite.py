@@ -107,7 +107,7 @@ def bench_cnn_lstm() -> dict:
 
     from robust_speech_analysis_framework_tpu.models import CNNLSTM
 
-    BATCH, SEQ_LEN, PAD_LEN, FPS = 32, 4378, 4480, 49.9
+    BATCH, SEQ_LEN, PAD_LEN, FPS = 128, 4378, 4480, 49.9
     model = CNNLSTM(input_dim=768, cnn_out_channels=128, lstm_hidden_dim=128)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, PAD_LEN, 768)), jnp.float32
