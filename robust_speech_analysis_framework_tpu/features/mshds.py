@@ -67,7 +67,10 @@ def speaker_pitch_range(x: np.ndarray, sr: float):
 
 
 def speechrate_features(
-    x: np.ndarray, sr: float, pitch: "PitchTrack | None" = None
+    x: np.ndarray,
+    sr: float,
+    pitch: "PitchTrack | None" = None,
+    intensity: "IntensityContour | None" = None,
 ) -> Dict[str, float]:
     """de Jong & Wempe syllable-nuclei speech-rate analysis (reference
     :11-122): intensity-peak syllable candidates above a quantile-based
@@ -81,9 +84,10 @@ def speechrate_features(
         mindip = 2.0
         minpause = 0.3
 
-        intensity = intensity_contour(
-            x, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
-        )
+        if intensity is None:
+            intensity = intensity_contour(
+                x, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
+            )
         if len(intensity.times) < 3:
             return nan5
         min_int = intensity.min_db()
@@ -160,7 +164,10 @@ def extract_mshds_single(
     """
     pre = precomputed or {}
     out: Dict[str, float] = {}
-    out.update(speechrate_features(x, sr, pitch=pre.get("speechrate")))
+    out.update(speechrate_features(
+        x, sr, pitch=pre.get("speechrate"),
+        intensity=pre.get("speechrate_intensity"),
+    ))
 
     floor, ceiling = pitch_range or speaker_pitch_range(x, sr)
 
@@ -176,7 +183,7 @@ def extract_mshds_single(
 
     # Intensity (reference :185-205).
     try:
-        intens = retry_transient(lambda: intensity_contour(
+        intens = pre.get("intensity") or retry_transient(lambda: intensity_contour(
             x, sr, minimum_pitch=floor, time_step=0.005, subtract_mean=True
         ))
         out["mean_dB"] = intens.mean_energy_db()
@@ -367,7 +374,13 @@ def extract_mshds_batch(
         else:
             ranges.append((60, 250) if v.mean() < 170 else (100, 500))
 
-    # 2) fixed-parameter speech-rate pass, batched over every file (:104).
+    from ..ops.intensity import intensity_contour_batch
+
+    # 2) fixed-parameter speech-rate pass, batched over every file (:104),
+    # plus its intensity contour (fixed min_pitch=50, step 16 ms, :41).
+    speechrate_intensity = intensity_contour_batch(
+        xs, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
+    )
     speechrate_tracks = pitch_track_batch(
         xs, sr,
         PitchParams(
@@ -378,12 +391,19 @@ def extract_mshds_batch(
     )
 
     # 3) range-adapted passes, batched per (floor, ceiling) group.
-    precomputed = [dict(speechrate=speechrate_tracks[i]) for i in range(len(xs))]
+    precomputed = [
+        dict(speechrate=speechrate_tracks[i],
+             speechrate_intensity=speechrate_intensity[i])
+        for i in range(len(xs))
+    ]
     groups: Dict[tuple, list] = {}
     for i, rng_ in enumerate(ranges):
         groups.setdefault(rng_, []).append(i)
     for (floor, ceiling), idxs in groups.items():
         grp = [xs[i] for i in idxs]
+        intens = intensity_contour_batch(
+            grp, sr, minimum_pitch=floor, time_step=0.005, subtract_mean=True
+        )
         main = pitch_track_batch(
             grp, sr, PitchParams(time_step=0.005, floor=floor, ceiling=ceiling)
         )
@@ -397,7 +417,9 @@ def extract_mshds_batch(
                         voicing_threshold=0.3),
         )
         for j, i in enumerate(idxs):
-            precomputed[i].update(main=main[j], cc=cc[j], cpp=cpp[j])
+            precomputed[i].update(
+                main=main[j], cc=cc[j], cpp=cpp[j], intensity=intens[j]
+            )
 
     # 4) remaining per-file analyses, thread pool as in the serial path.
     def one(i: int) -> dict:

@@ -127,3 +127,73 @@ def intensity_contour(
     )[:n_frames]
     db = 10.0 * np.log10(np.maximum(power, 1e-30) / _REF_POWER)
     return IntensityContour(centers, db)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _gathered_frame_power(x_cat, starts, window, win_len: int, subtract_mean: bool):
+    """Device-side framing + windowed power (corpus-batched intensity)."""
+    idx = starts[:, None] + jnp.arange(win_len)[None, :]
+    return _frame_power(x_cat[idx], window, subtract_mean)
+
+
+def intensity_contour_batch(
+    xs,
+    sr: float,
+    minimum_pitch: float = 100.0,
+    time_step: float = 0.0,
+    subtract_mean: bool = True,
+) -> "list[IntensityContour]":
+    """Batched :func:`intensity_contour` over many waveforms.
+
+    All files' frames go through one jitted power computation — waveforms are
+    uploaded concatenated and framed on device (same design as
+    ops.pitch.pitch_track_batch). Bit-equivalent to the per-file path.
+    """
+    from .bucketing import pad_frames
+    from .pitch import praat_frame_grid
+
+    window_s = 6.4 / minimum_pitch
+    dt = time_step if time_step > 0 else window_s / 4.0
+    win_len = int(round(window_s * sr))
+    window = jnp.asarray(np.kaiser(win_len, 20.0))
+
+    metas, start_blocks, pieces = [], [], []
+    offset = 0
+    for x in xs:
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        n_frames, t0 = praat_frame_grid(len(x), sr, window_s, dt)
+        centers = t0 + np.arange(n_frames) * dt
+        metas.append((n_frames, centers))
+        if n_frames < 1:
+            continue
+        piece = np.pad(x, (0, win_len)).astype(np.float32)
+        starts = np.clip(
+            np.round(centers * sr - win_len / 2).astype(int),
+            0, max(len(x) - win_len, 0),
+        )
+        start_blocks.append(starts + offset)
+        pieces.append(piece)
+        offset += len(piece)
+
+    if not start_blocks:
+        return [IntensityContour(m[1], np.zeros(m[0])) for m in metas]
+
+    x_cat = jnp.asarray(np.concatenate(pieces))
+    all_starts = np.concatenate(start_blocks).astype(np.int32)
+    starts_padded, _ = pad_frames(all_starts[:, None])
+    power = np.asarray(
+        _gathered_frame_power(
+            x_cat, jnp.asarray(starts_padded[:, 0]), window, win_len, subtract_mean
+        )
+    )
+    out = []
+    cursor = 0
+    for n_frames, centers in metas:
+        if n_frames < 1:
+            out.append(IntensityContour(centers, np.zeros(0)))
+            continue
+        p = power[cursor : cursor + n_frames]
+        cursor += n_frames
+        db = 10.0 * np.log10(np.maximum(p, 1e-30) / _REF_POWER)
+        out.append(IntensityContour(centers, db))
+    return out
