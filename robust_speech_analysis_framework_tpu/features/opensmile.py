@@ -12,11 +12,14 @@ smoothing (``_sma``) → delta regression (``_de``) → 12 functionals per
 contour (Extremes/Regression/Moments as enabled in the conf).
 
 Feature count: 38 LLDs × 2 (sma + de) × 12 functionals = 912 columns. The
-reference's saved CSV shows 911 (nb02 cell 2 output) — one column short of
-the arithmetic; the discrepancy can only be resolved by diffing against a
-real SMILExtract header, which requires the binary/corpus this environment
-does not have. Column *names* follow openSMILE conventions so such a diff is
-mechanical when available.
+reference's saved CSV shows 911 (nb02 cell 2 output) — exactly one short.
+Most probable cause: the reference drops the CSV's first column assuming it
+is the ``-instname`` instance-name column (src/opensmile_extractor.py:83),
+but with ``timestamp=0``/``number=0`` cCsvSink may emit no such column, in
+which case that code discards the FIRST FEATURE (the first functional of the
+first LLD). This module emits the full 912; a real SMILExtract header diff
+(binary/corpus not available here) would settle it — column names follow
+openSMILE conventions to make that diff mechanical.
 
 Throughput design: all frame-parallel stages run as one jitted program per
 padded frame-count bucket; whole batches of files are processed at one
