@@ -194,10 +194,11 @@ def extract_mshds_single(
 
     # HNR (reference :207-225).
     try:
-        out["HNR_dB"] = retry_transient(lambda: harmonicity_cc(
+        hc = pre.get("harmonicity") or retry_transient(lambda: harmonicity_cc(
             x, sr, time_step=0.005, minimum_pitch=floor,
             silence_threshold=0.1, periods_per_window=4.5,
-        ).mean_db())
+        ))
+        out["HNR_dB"] = hc.mean_db()
     except Exception:
         out["HNR_dB"] = float("nan")
 
@@ -399,10 +400,16 @@ def extract_mshds_batch(
     groups: Dict[tuple, list] = {}
     for i, rng_ in enumerate(ranges):
         groups.setdefault(rng_, []).append(i)
+    from ..ops.harmonicity import harmonicity_cc_batch
+
     for (floor, ceiling), idxs in groups.items():
         grp = [xs[i] for i in idxs]
         intens = intensity_contour_batch(
             grp, sr, minimum_pitch=floor, time_step=0.005, subtract_mean=True
+        )
+        hnr = harmonicity_cc_batch(
+            grp, sr, time_step=0.005, minimum_pitch=floor,
+            silence_threshold=0.1, periods_per_window=4.5,
         )
         main = pitch_track_batch(
             grp, sr, PitchParams(time_step=0.005, floor=floor, ceiling=ceiling)
@@ -418,7 +425,8 @@ def extract_mshds_batch(
         )
         for j, i in enumerate(idxs):
             precomputed[i].update(
-                main=main[j], cc=cc[j], cpp=cpp[j], intensity=intens[j]
+                main=main[j], cc=cc[j], cpp=cpp[j], intensity=intens[j],
+                harmonicity=hnr[j],
             )
 
     # 4) remaining per-file analyses, thread pool as in the serial path.

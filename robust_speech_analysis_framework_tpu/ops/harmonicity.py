@@ -57,12 +57,18 @@ def harmonicity_cc(
     r, local_peak = _forward_crosscorr(jnp.asarray(frames_np), win_len, max_lag)
     r = np.asarray(r)[:n_frames]
     local_peak = np.asarray(local_peak)[:n_frames]
+    hnr = _hnr_from_r(r, local_peak, x, sr, minimum_pitch, silence_threshold, max_lag)
+    return HarmonicityContour(centers, hnr)
 
-    lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))  # ≤10×floor
-    # Peak of r in (lag_min, max_lag]; require a genuine local maximum.
+
+def _hnr_from_r(r: np.ndarray, local_peak: np.ndarray, x: np.ndarray,
+                sr: float, minimum_pitch: float, silence_threshold: float,
+                max_lag: int) -> np.ndarray:
+    """Shared contour math: correlation block → per-frame HNR dB (NaN where
+    silent/unvoiced)."""
+    lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))
     band = r[:, lag_min : max_lag + 1]
     r_best = band.max(axis=1)
-    # Parabolic refinement around the argmax.
     idx = band.argmax(axis=1) + lag_min
     valid_idx = (idx > 0) & (idx < r.shape[1] - 1)
     il = np.clip(idx - 1, 0, r.shape[1] - 1)
@@ -71,13 +77,75 @@ def harmonicity_cc(
     dl = r[rows, idx] - r[rows, il]
     dr_ = r[rows, idx] - r[rows, ir]
     denom = dl + dr_
-    bump = np.where((denom > 0) & valid_idx, 0.125 * (dl - dr_) ** 2 / np.maximum(denom, 1e-12), 0.0)
+    bump = np.where(
+        (denom > 0) & valid_idx, 0.125 * (dl - dr_) ** 2 / np.maximum(denom, 1e-12), 0.0
+    )
     r_best = np.minimum(r_best + bump, 0.999999999)
-
     global_peak = np.max(np.abs(x - x.mean())) or 1e-30
     silent = local_peak < silence_threshold * global_peak
     undefined = silent | (r_best <= 0)
-    hnr = np.where(
-        undefined, np.nan, 10.0 * np.log10(np.maximum(r_best, 1e-12) / np.maximum(1.0 - r_best, 1e-12))
+    return np.where(
+        undefined, np.nan,
+        10.0 * np.log10(np.maximum(r_best, 1e-12) / np.maximum(1.0 - r_best, 1e-12)),
     )
-    return HarmonicityContour(centers, hnr)
+
+
+def harmonicity_cc_batch(
+    xs,
+    sr: float,
+    time_step: float = 0.01,
+    minimum_pitch: float = 75.0,
+    silence_threshold: float = 0.1,
+    periods_per_window: float = 4.5,
+) -> "list[HarmonicityContour]":
+    """Batched :func:`harmonicity_cc` (device-gathered frames, one core call
+    over every file's frames — same design as ops.pitch.pitch_track_batch)."""
+    from .bucketing import pad_frames
+    from .pitch import _gathered_crosscorr
+
+    window_s = periods_per_window / minimum_pitch
+    win_len = int(round(window_s * sr))
+    max_lag = int(math.ceil(sr / minimum_pitch)) + 2
+    ext = win_len + max_lag
+
+    metas, start_blocks, pieces = [], [], []
+    offset = 0
+    for x in xs:
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        n_frames, t0 = praat_frame_grid(len(x), sr, window_s, time_step)
+        centers = t0 + np.arange(n_frames) * time_step
+        metas.append((n_frames, centers, x))
+        if n_frames < 1:
+            continue
+        piece = np.pad(x, (0, ext)).astype(np.float32)
+        starts = np.clip(
+            np.round(centers * sr - win_len / 2).astype(int),
+            0, max(len(piece) - ext, 0),
+        )
+        start_blocks.append(starts + offset)
+        pieces.append(piece)
+        offset += len(piece)
+
+    if not start_blocks:
+        return [HarmonicityContour(m[1], np.zeros(m[0])) for m in metas]
+
+    x_cat = jnp.asarray(np.concatenate(pieces))
+    all_starts = np.concatenate(start_blocks).astype(np.int32)
+    starts_padded, _ = pad_frames(all_starts[:, None])
+    r_all, peak_all = _gathered_crosscorr(
+        x_cat, jnp.asarray(starts_padded[:, 0]), ext, (win_len, max_lag)
+    )
+    r_all, peak_all = np.asarray(r_all), np.asarray(peak_all)
+
+    out = []
+    cursor = 0
+    for n_frames, centers, x in metas:
+        if n_frames < 1:
+            out.append(HarmonicityContour(centers, np.zeros(0)))
+            continue
+        r = r_all[cursor : cursor + n_frames]
+        pk = peak_all[cursor : cursor + n_frames]
+        cursor += n_frames
+        hnr = _hnr_from_r(r, pk, x, sr, minimum_pitch, silence_threshold, max_lag)
+        out.append(HarmonicityContour(centers, hnr))
+    return out
