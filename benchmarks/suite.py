@@ -42,15 +42,14 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
     import pandas as pd
 
     from robust_speech_analysis_framework_tpu.features.mshds import (
-        extract_mshds_features,
-        extract_mshds_single,
+        extract_mshds_batch,
     )
 
     waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
-    extract_mshds_single(next(iter(waves.values())), SR)  # compile
-    df_in = pd.DataFrame({"filepath": [f"/nonexistent/{n}" for n in waves]})
+    warm = {f"w{i}.wav": _speech(seconds, 125 + 15 * i, 70 + i) for i in range(n_files)}
+    extract_mshds_batch(warm, SR, n_workers=8, verbose=False)  # compile
     t0 = time.perf_counter()
-    out = extract_mshds_features(df_in, verbose=False, waveforms=waves, n_workers=8)
+    out = extract_mshds_batch(waves, SR, n_workers=8, verbose=False)
     dt = time.perf_counter() - t0
     nan_rows = int(out["mean_F0"].isna().sum())
     if nan_rows > n_files // 4:
