@@ -86,7 +86,7 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
 def bench_wav2vec2(n_files: int, seconds: float) -> dict:
     from robust_speech_analysis_framework_tpu.features.wav2vec2 import Wav2Vec2Extractor
 
-    ex = Wav2Vec2Extractor(batch_size=16)
+    ex = Wav2Vec2Extractor(batch_size=16, allow_random_init=True)
     warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
     ex.extract_sequences(warm, verbose=False)  # compile
     waves = {f"f{i}.wav": _speech(seconds, 120 + 10 * i, i) for i in range(n_files)}

@@ -77,7 +77,7 @@ def main():
     from robust_speech_analysis_framework_tpu.models.wav2vec2 import Wav2Vec2Config
 
     print("== extraction (nb01 equivalent) ==")
-    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=4)
+    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=4, allow_random_init=True)
     extract_all_features(corpus, processed, wav2vec2_extractor=ex, verbose=False)
     print("artifacts:", sorted(os.listdir(processed)))
 

@@ -27,12 +27,21 @@ def _cmd_extract(args) -> int:
     extractor = None
     if args.wav2vec2_checkpoint:
         extractor = Wav2Vec2Extractor.from_hf_checkpoint(args.wav2vec2_checkpoint)
+    elif args.allow_random_wav2vec2:
+        extractor = Wav2Vec2Extractor(allow_random_init=True)
+    opensmile_config = None
+    if args.opensmile_conf:
+        from .features.conf_parser import opensmile_config_from_conf
+
+        with open(args.opensmile_conf) as fh:
+            opensmile_config = opensmile_config_from_conf(fh.read())
     paths = extract_all_features(
         args.corpus,
         args.out,
         features=args.features.split(","),
         skip_existing=not args.force,
         wav2vec2_extractor=extractor,
+        opensmile_config=opensmile_config,
         verbose=not args.quiet,
     )
     for name, path in paths.items():
@@ -120,7 +129,22 @@ def main(argv=None) -> int:
     p.add_argument("--corpus", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--features", default="mshds,opensmile,wav2vec2")
-    p.add_argument("--wav2vec2-checkpoint", default=None)
+    p.add_argument(
+        "--wav2vec2-checkpoint", default=None,
+        help="local HF wav2vec2-base-960h checkpoint dir; REQUIRED for "
+             "meaningful wav2vec2 features (the reference always runs "
+             "pretrained weights)",
+    )
+    p.add_argument(
+        "--allow-random-wav2vec2", action="store_true",
+        help="run wav2vec2 on random weights (throughput testing only; "
+             "embeddings are meaningless)",
+    )
+    p.add_argument(
+        "--opensmile-conf", default=None,
+        help="openSMILE .conf file (Androids.conf subset) configuring the "
+             "911-feature extractor declaratively",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=_cmd_extract)

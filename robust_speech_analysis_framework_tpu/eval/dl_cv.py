@@ -197,9 +197,9 @@ def run_dl_nested_cv(
     metadata_df: pd.DataFrame,
     n_splits_outer: int = 5,
     n_splits_inner: int = 3,
-    n_trials: int = 20,
-    epochs: int = 100,
-    patience: int = 25,
+    n_trials: int = 25,
+    epochs: int = 50,
+    patience: int = 10,
     batch_size: int = 8,
     inner_epochs: int = 15,
     inner_batch_size: int = 4,

@@ -72,15 +72,23 @@ LLD_NAMES: List[str] = (
 )  # 16 + 6 + 16 = 38
 
 
-def feature_columns() -> List[str]:
-    """All 912 output column names in openSMILE order (per-LLD: sma
-    functionals for every LLD group, then delta functionals)."""
+def feature_columns(reference_compat: bool = False) -> List[str]:
+    """Output column names in openSMILE order (per-LLD: sma functionals for
+    every LLD group, then delta functionals).
+
+    ``reference_compat=True`` reproduces the reference's observed 911-column
+    schema: its loader drops the CSV's first column assuming it is the
+    ``-instname`` column (src/opensmile_extractor.py:78-86), but with
+    ``timestamp=0``/``number=0`` cCsvSink emits no such column, so the FIRST
+    FEATURE is what actually gets discarded — downstream dataset shapes
+    (111×911 / 109×1822 / 109×2733, nb02 cell 2) depend on it. Default is the
+    complete 912-column native schema."""
     cols = []
     for suffix in ("_sma", "_sma_de"):
         for lld in LLD_NAMES:
             for fn in FUNCTIONAL_NAMES:
                 cols.append(f"{lld}{suffix}_{fn}")
-    return cols
+    return cols[1:] if reference_compat else cols
 
 
 @dataclass(frozen=True)
@@ -95,6 +103,9 @@ class OpenSmileConfig:
     sma_window: int = 3
     deltawin: int = 2
     jitter_search_range: float = 0.25
+    # emit the reference's observed 911-column schema (first feature dropped,
+    # see feature_columns) instead of the complete 912-column native schema
+    reference_compat: bool = False
 
 
 class OpenSmileExtractor:
@@ -223,7 +234,7 @@ class OpenSmileExtractor:
         from ..ops.shs_pitch import shs_pitch_batch
 
         cfg = self.config.frontend
-        cols = feature_columns()
+        cols = feature_columns(self.config.reference_compat)
 
         groups: Dict[int, List[Tuple[str, np.ndarray]]] = {}
         for name, x in waveforms.items():
@@ -309,6 +320,8 @@ class OpenSmileExtractor:
         rows = []
         for i, name in enumerate(names):
             vec = np.concatenate([f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)])
+            if self.config.reference_compat:
+                vec = vec[1:]
             row = dict(zip(cols, vec.tolist()))
             row["filename"] = name
             rows.append(row)
@@ -323,11 +336,13 @@ class OpenSmileExtractor:
         """{filename: waveform} → DataFrame['filename' + 912 features]."""
         if batched:
             return self.extract_batch(waveforms, verbose=verbose)
-        cols = feature_columns()
+        cols = feature_columns(self.config.reference_compat)
         rows = []
         for name, x in waveforms.items():
             try:
                 vec = self.extract_single(x)
+                if self.config.reference_compat:
+                    vec = vec[1:]
                 row = dict(zip(cols, vec.tolist()))
                 row["filename"] = name
                 rows.append(row)
@@ -352,7 +367,9 @@ def extract_opensmile_features(
     from ..audio.io import load_mono_16k
 
     if input_df.empty:
-        return pd.DataFrame(columns=["filename"] + feature_columns())
+        return pd.DataFrame(
+            columns=["filename"] + feature_columns(config.reference_compat)
+        )
 
     ex = OpenSmileExtractor(config)
     wavs: Dict[str, np.ndarray] = {}

@@ -46,7 +46,16 @@ class _ChunkRef:
 
 
 class Wav2Vec2Extractor:
-    """Reusable extractor owning the jitted encoder and its parameters."""
+    """Reusable extractor owning the jitted encoder and its parameters.
+
+    The reference always runs pretrained ``facebook/wav2vec2-base-960h``
+    (src/foundation_model_extractor.py:39,66-72); embeddings from random
+    weights are semantically meaningless, so constructing an extractor
+    without weights raises unless ``allow_random_init=True`` is passed
+    explicitly (tests / throughput benchmarks), in which case a prominent
+    warning is emitted and ``.pretrained`` is False so pipelines can mark
+    their artifacts.
+    """
 
     def __init__(
         self,
@@ -58,6 +67,7 @@ class Wav2Vec2Extractor:
         normalize: bool = False,
         seed: int = 0,
         mesh=None,
+        allow_random_init: bool = False,
     ):
         self.config = config
         self.model = Wav2Vec2Model(config)
@@ -68,7 +78,28 @@ class Wav2Vec2Extractor:
         # facebook/wav2vec2-base-960h ships do_normalize=False; flag kept for
         # checkpoints that expect per-utterance normalization.
         self.normalize = normalize
+        self.pretrained = params is not None
         if params is None:
+            if not allow_random_init:
+                raise ValueError(
+                    "Wav2Vec2Extractor constructed without weights. The "
+                    "reference pipeline always runs pretrained "
+                    "facebook/wav2vec2-base-960h "
+                    "(src/foundation_model_extractor.py:39); random-init "
+                    "embeddings produce garbage downstream results. Load "
+                    "weights with Wav2Vec2Extractor.from_hf_checkpoint(path) "
+                    "(CLI: --wav2vec2-checkpoint), or pass "
+                    "allow_random_init=True if you really want random "
+                    "weights (tests/benchmarks only)."
+                )
+            import warnings
+
+            warnings.warn(
+                "Wav2Vec2Extractor is running on RANDOM weights "
+                "(allow_random_init=True): embeddings are not meaningful.",
+                UserWarning,
+                stacklevel=2,
+            )
             params = self.model.init(
                 jax.random.PRNGKey(seed), jnp.zeros((1, self.min_samples))
             )

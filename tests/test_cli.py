@@ -23,13 +23,13 @@ def test_cli_help_lists_subcommands(capsys):
         assert cmd in out
 
 
-def test_cli_extract_on_synthetic_corpus(tmp_path, capsys):
+def _make_corpus(root):
     import struct
     import wave
 
-    hc = tmp_path / "c" / "Reading-Task" / "audio" / "HC"
+    hc = root / "c" / "Reading-Task" / "audio" / "HC"
     hc.mkdir(parents=True)
-    (tmp_path / "c" / "Interview-Task" / "audio_clip").mkdir(parents=True)
+    (root / "c" / "Interview-Task" / "audio_clip").mkdir(parents=True)
     with wave.open(str(hc / "01_CF30_1.wav"), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
@@ -37,14 +37,51 @@ def test_cli_extract_on_synthetic_corpus(tmp_path, capsys):
         t = np.arange(16000) / 16000
         x = (0.3 * np.sin(2 * np.pi * 150 * t) * 32767).astype("<i2")
         w.writeframes(struct.pack(f"<{len(x)}h", *x))
-    (tmp_path / "c" / "fold-lists.csv").write_text("b,,\nfold1,fold1.1\n,\n")
+    (root / "c" / "fold-lists.csv").write_text("b,,\nfold1,fold1.1\n,\n")
+    return root / "c"
+
+
+def test_cli_extract_on_synthetic_corpus(tmp_path, capsys):
+    corpus = _make_corpus(tmp_path)
     rc = main(
-        ["extract", "--corpus", str(tmp_path / "c"), "--out",
+        ["extract", "--corpus", str(corpus), "--out",
          str(tmp_path / "out"), "--features", "mshds", "--quiet"]
     )
     assert rc == 0
     out = capsys.readouterr().out
     assert "features_mshds_reading_task.csv" in out
+
+
+@pytest.mark.slow
+def test_cli_opensmile_conf_changes_behavior(tmp_path, capsys):
+    """--opensmile-conf flows through opensmile_config_from_conf: a modified
+    frame step must change the extracted functionals (VERDICT r1 item 9)."""
+    import pandas as pd
+
+    corpus = _make_corpus(tmp_path)
+    rc = main(
+        ["extract", "--corpus", str(corpus), "--out", str(tmp_path / "out_a"),
+         "--features", "opensmile", "--quiet"]
+    )
+    assert rc == 0
+    conf = tmp_path / "mod.conf"
+    conf.write_text(
+        "[framer:cFramer]\nframeSize = 0.025\nframeStep = 0.020\n"
+    )
+    rc = main(
+        ["extract", "--corpus", str(corpus), "--out", str(tmp_path / "out_b"),
+         "--features", "opensmile", "--opensmile-conf", str(conf), "--quiet"]
+    )
+    assert rc == 0
+    a = pd.read_csv(tmp_path / "out_a" / "features_opensmile_reading_task.csv")
+    b = pd.read_csv(tmp_path / "out_b" / "features_opensmile_reading_task.csv")
+    assert list(a.columns) == list(b.columns)
+    feat_cols = [c for c in a.columns if c.endswith("_amean")]
+    assert feat_cols
+    assert not np.allclose(
+        a[feat_cols].to_numpy(float), b[feat_cols].to_numpy(float),
+        rtol=1e-6, atol=1e-9, equal_nan=True,
+    )
 
 
 def test_initialize_distributed_noop(monkeypatch):

@@ -4,6 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # training/inference-heavy (pytest.ini)
+
 from robust_speech_analysis_framework_tpu.eval.dl_cv import (
     align_sequences_and_labels,
     run_dl_nested_cv,

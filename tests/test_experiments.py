@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # training/inference-heavy (pytest.ini)
+
 from robust_speech_analysis_framework_tpu.audio.io import write_wav
 from robust_speech_analysis_framework_tpu.experiments import (
     build_svm_datasets,
@@ -67,7 +69,7 @@ def processed(corpus, tmp_path_factory):
     from robust_speech_analysis_framework_tpu.features.wav2vec2 import Wav2Vec2Extractor
     from robust_speech_analysis_framework_tpu.models.wav2vec2 import Wav2Vec2Config
 
-    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=4)
+    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=4, allow_random_init=True)
     paths = extract_all_features(
         corpus, out, features=("mshds", "opensmile", "wav2vec2"),
         wav2vec2_extractor=ex, verbose=False,

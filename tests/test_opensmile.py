@@ -159,3 +159,30 @@ def test_batched_extraction_matches_serial():
     rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-3)
     assert np.nanmean(rel) < 1e-3
     assert np.nanmedian(rel) < 1e-5
+
+
+def test_reference_compat_911_schema():
+    """reference_compat drops the first emitted feature → the reference's
+    observed 911-column schema (src/opensmile_extractor.py:78-86, nb02
+    cell 2 X shape 111×911); values are otherwise identical."""
+    from robust_speech_analysis_framework_tpu.features.opensmile import (
+        OpenSmileConfig,
+    )
+
+    cols911 = feature_columns(reference_compat=True)
+    assert len(cols911) == 911
+    assert cols911 == feature_columns()[1:]
+
+    wav = _voiced_pulsed(1.0)
+    full = OpenSmileExtractor().extract({"a.wav": wav}, verbose=False)
+    compat = OpenSmileExtractor(
+        OpenSmileConfig(reference_compat=True)
+    ).extract({"a.wav": wav}, verbose=False)
+    assert compat.shape == (1, 912)  # filename + 911 features
+    dropped = feature_columns()[0]
+    assert dropped not in compat.columns
+    np.testing.assert_allclose(
+        compat.iloc[0][cols911].to_numpy(float),
+        full.iloc[0][cols911].to_numpy(float),
+        rtol=1e-6,
+    )

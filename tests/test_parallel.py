@@ -5,6 +5,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training/inference-heavy (pytest.ini)
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

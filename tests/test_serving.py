@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training/inference-heavy (pytest.ini)
+
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +36,7 @@ def tiny_ckpt(tmp_path_factory):
 
 
 def test_predict_sequence_and_waveform(tiny_ckpt):
-    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=2)
+    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=2, allow_random_init=True)
     p = Predictor.from_checkpoint(tiny_ckpt, extractor=ex)
     rng = np.random.default_rng(0)
 
@@ -56,7 +58,7 @@ def test_predict_sequence_and_waveform(tiny_ckpt):
 def test_predict_files(tiny_ckpt, tmp_path):
     from robust_speech_analysis_framework_tpu.audio.io import write_wav
 
-    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=2)
+    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=2, allow_random_init=True)
     p = Predictor.from_checkpoint(tiny_ckpt, extractor=ex)
     rng = np.random.default_rng(1)
     paths = []
@@ -87,7 +89,7 @@ def test_from_reference_checkpoint(tmp_path):
     }
     path = str(tmp_path / "ref.pt")
     torch.save(payload, path)
-    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=2)
+    ex = Wav2Vec2Extractor(config=Wav2Vec2Config(num_layers=2), batch_size=2, allow_random_init=True)
     p = Predictor.from_reference_checkpoint(path, extractor=ex)
     pred = p.predict_sequence(
         np.random.default_rng(2).normal(size=(100, 768)).astype(np.float32)

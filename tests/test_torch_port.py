@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training/inference-heavy (pytest.ini)
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training/inference-heavy (pytest.ini)
+
 from robust_speech_analysis_framework_tpu.data.batching import (
     batch_iterator,
     bucket_length,
