@@ -9,31 +9,42 @@ voiced-frame spectral moments — all computed by this framework's own DSP ops
 (ops/*) instead of Praat, with the same NaN-on-failure row semantics
 (:450-457).
 
-The device ops (pitch, intensity, cepstrum, formants, spectra) are batched
-frame-parallel XLA programs; the host orchestrates per-file decision logic.
+The pipeline is corpus-staged: every device analysis (pitch ×4, intensity
+×2, harmonicity, Burg formants + roots, cepstrogram CPPS, spectral moments)
+runs as ONE batched XLA program over the frames of EVERY file, with a single
+device→host transfer per stage — the design that turns the reference's
+per-file Praat call graph (thousands of Python↔C++ crossings per file,
+src/mshds_extractor.py:408) into a dozen device round trips per corpus. The
+serial entry points route through the same machinery with a one-file corpus,
+so batch and serial results are identical by construction.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, Mapping, Optional
+from typing import Dict, List, Mapping, Optional
 
 import numpy as np
 import pandas as pd
 
-from ..ops.cepstrum import cpps, power_cepstrogram
-from ..ops.formants import formant_track_burg
-from ..ops.harmonicity import harmonicity_cc
-from ..ops.intensity import IntensityContour, intensity_contour
-from ..ops.ltas import ltas_pitch_corrected
-from ..ops.pitch import PitchTrack, pitch_track_ac, pitch_track_cc
+from ..ops.cepstrum import cepstrum_preprocess, cpps_segments_batch
+from ..ops.formants import formant_track_burg_batch
+from ..ops.harmonicity import harmonicity_cc_batch
+from ..ops.intensity import IntensityContour, intensity_contour_batch
+from ..ops.ltas import ltas_pitch_corrected_batch
+from ..ops.pitch import (
+    PitchParams,
+    PitchTrack,
+    pitch_track_batch,
+    pitch_track_batch_shared,
+)
 from ..ops.pulses import (
     label_at_time,
     point_process_cc,
     silence_intervals,
     vuv_intervals,
 )
-from ..ops.spectral import voiced_mean_moments
+from ..ops.spectral import voiced_mean_moments_batch
 from ..utils.reliability import retry_transient
 
 FEATURE_NAMES = [
@@ -47,21 +58,36 @@ FEATURE_NAMES = [
     "Spectral_Kurtosis",
 ]
 
+_TEMPORAL = ["Speaking_Rate", "Articulation_Rate", "Phonation_Ratio",
+             "Pause_Rate", "Mean_Pause_Duration"]
+_FORMANT_KEYS = ["mean_F1_Loc", "std_F1_Loc", "mean_B1_Loc", "std_B1_Loc",
+                 "mean_F2_Loc", "std_F2_Loc", "mean_B2_Loc", "std_B2_Loc"]
+_MOMENT_KEYS = ["Spectral_Gravity", "Spectral_Std_Dev", "Spectral_Skewness",
+                "Spectral_Kurtosis"]
+
+
+def _range_from_track(track: PitchTrack):
+    """Adaptive pitch floor/ceiling decision from the wide 50-600 Hz pass
+    (reference :127-162): |z|≤2 outlier filter, mean<170 Hz → (60, 250)
+    else (100, 500); (75, 500) fallback."""
+    v = track.f0[track.f0 > 0]
+    if v.size == 0:
+        return 75, 500
+    z = (v - v.mean()) / max(v.std(), 1e-12)
+    v = v[np.abs(z) <= 2]
+    if v.size == 0:
+        return 75, 500
+    return (60, 250) if v.mean() < 170 else (100, 500)
+
 
 def speaker_pitch_range(x: np.ndarray, sr: float):
-    """Adaptive pitch floor/ceiling (reference :127-162): wide 50-600 Hz
-    pass, |z|≤2 outlier filter, mean<170 Hz → (60, 250) else (100, 500);
-    (75, 500) fallback."""
+    """Adaptive pitch floor/ceiling (reference :127-162) for one file."""
     try:
-        wide = pitch_track_ac(x, sr, time_step=0.005, floor=50, ceiling=600)
-        v = wide.f0[wide.f0 > 0]
-        if v.size == 0:
-            return 75, 500
-        z = (v - v.mean()) / max(v.std(), 1e-12)
-        v = v[np.abs(z) <= 2]
-        if v.size == 0:
-            return 75, 500
-        return (60, 250) if v.mean() < 170 else (100, 500)
+        wide = pitch_track_batch(
+            [np.asarray(x, dtype=np.float64).reshape(-1)], sr,
+            PitchParams(time_step=0.005, floor=50, ceiling=600),
+        )[0]
+        return _range_from_track(wide)
     except Exception:
         return 75, 500
 
@@ -75,19 +101,16 @@ def speechrate_features(
     """de Jong & Wempe syllable-nuclei speech-rate analysis (reference
     :11-122): intensity-peak syllable candidates above a quantile-based
     silence threshold, validated by a ≥2 dB following dip and voicing."""
-    nan5 = dict.fromkeys(
-        ["Speaking_Rate", "Articulation_Rate", "Phonation_Ratio", "Pause_Rate",
-         "Mean_Pause_Duration"], float("nan")
-    )
+    nan5 = dict.fromkeys(_TEMPORAL, float("nan"))
     try:
         silencedb = -25.0
         mindip = 2.0
         minpause = 0.3
 
         if intensity is None:
-            intensity = intensity_contour(
-                x, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
-            )
+            intensity = intensity_contour_batch(
+                [x], sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
+            )[0]
         if len(intensity.times) < 3:
             return nan5
         min_int = intensity.min_db()
@@ -124,11 +147,15 @@ def speechrate_features(
                 current_i = intensity.value_at_time(timepeaks[p + 1])
 
         if pitch is None:
-            pitch = pitch_track_ac(
-                x, sr, time_step=0.02, floor=30, ceiling=450, max_candidates=4,
-                silence_threshold=0.03, voicing_threshold=0.25, octave_cost=0.01,
-                octave_jump_cost=0.35, voiced_unvoiced_cost=0.25,
-            )
+            pitch = pitch_track_batch(
+                [x], sr,
+                PitchParams(
+                    time_step=0.02, floor=30, ceiling=450, max_candidates=4,
+                    silence_threshold=0.03, voicing_threshold=0.25,
+                    octave_cost=0.01, octave_jump_cost=0.35,
+                    voiced_unvoiced_cost=0.25,
+                ),
+            )[0]
         n_syll = 0
         for time in validtime:
             f = pitch.value_at_time(time)
@@ -149,140 +176,255 @@ def speechrate_features(
         return nan5
 
 
-def extract_mshds_single(
-    x: np.ndarray,
-    sr: float = 16000,
-    precomputed: Optional[Dict[str, object]] = None,
-    pitch_range: Optional[tuple] = None,
-) -> Dict[str, float]:
-    """All 25 MSHDS features for one mono 16 kHz waveform.
-
-    ``precomputed`` may carry pitch tracks produced by the corpus-batched
-    front end (keys: 'speechrate', 'main', 'cc', 'cpp'); ``pitch_range``
-    overrides the adaptive floor/ceiling (both supplied by
-    :func:`extract_mshds_batch`).
-    """
-    pre = precomputed or {}
-    out: Dict[str, float] = {}
-    out.update(speechrate_features(
-        x, sr, pitch=pre.get("speechrate"),
-        intensity=pre.get("speechrate_intensity"),
-    ))
-
-    floor, ceiling = pitch_range or speaker_pitch_range(x, sr)
-
-    # Pitch statistics (reference :164-183).
+def _stage(fn, default, verbose: bool, label: str):
+    """Run one corpus-batched stage; on failure return ``default`` so the
+    affected feature group degrades to NaN instead of killing the corpus
+    (reference NaN-row semantics, src/mshds_extractor.py:450-457)."""
     try:
-        pitch = pre.get("main") or retry_transient(lambda: pitch_track_ac(
-            x, sr, time_step=0.005, floor=floor, ceiling=ceiling))
-        out["mean_F0"] = pitch.mean_hz()
-        out["stdev_F0_Semitone"] = pitch.std_semitones()
-    except Exception:
-        pitch = None
-        out["mean_F0"] = out["stdev_F0_Semitone"] = float("nan")
+        return retry_transient(fn)
+    except Exception as e:
+        if verbose:
+            print(f"MSHDS stage '{label}' failed: {e}. NaN-filling.")
+        return default
 
-    # Intensity (reference :185-205).
-    try:
-        intens = pre.get("intensity") or retry_transient(lambda: intensity_contour(
-            x, sr, minimum_pitch=floor, time_step=0.005, subtract_mean=True
-        ))
-        out["mean_dB"] = intens.mean_energy_db()
-        mn, mx = intens.min_db(), intens.max_db()
-        out["range_ratio_dB"] = mx / mn if mn != 0 else float("nan")
-    except Exception:
-        out["mean_dB"] = out["range_ratio_dB"] = float("nan")
 
-    # HNR (reference :207-225).
-    try:
-        hc = pre.get("harmonicity") or retry_transient(lambda: harmonicity_cc(
-            x, sr, time_step=0.005, minimum_pitch=floor,
-            silence_threshold=0.1, periods_per_window=4.5,
-        ))
-        out["HNR_dB"] = hc.mean_db()
-    except Exception:
-        out["HNR_dB"] = float("nan")
+def _extract_corpus(
+    xs: "List[np.ndarray]", sr: float, verbose: bool = True
+) -> "List[Dict[str, float]]":
+    """All 25 MSHDS features for every waveform, corpus-staged (see module
+    docstring). Returns one feature dict per input."""
+    n = len(xs)
+    xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
+    rows: "List[Dict[str, float]]" = [
+        dict.fromkeys(FEATURE_NAMES, float("nan")) for _ in range(n)
+    ]
+    if n == 0:
+        return rows
 
-    # LTAS slope + tilt (reference :227-251).
-    try:
-        pcc = pre.get("cc") or pitch_track_cc(
-            x, sr, time_step=0.005, floor=floor, ceiling=ceiling)
-        pulses = point_process_cc(x, sr, pcc)
-        lt = ltas_pitch_corrected(x, sr, pulses)
-        out["Spectral_Slope"] = lt.slope_db(50, 1000, 1000, 4000)
-        out["Spectral_Tilt"] = lt.spectral_tilt(100, 5000)
-    except Exception:
-        pulses = np.zeros(0)
-        out["Spectral_Slope"] = out["Spectral_Tilt"] = float("nan")
+    # --- stage 1: wide speaker-adaptation pitch pass (:141-162) -----------
+    wide = _stage(
+        lambda: pitch_track_batch(
+            xs, sr, PitchParams(time_step=0.005, floor=50, ceiling=600)
+        ),
+        None, verbose, "wide-pitch",
+    )
+    ranges = (
+        [_range_from_track(t) for t in wide] if wide is not None
+        else [(75, 500)] * n
+    )
 
-    # CPPS over voiced segments (reference :253-301).
-    try:
-        p_v = pre.get("cpp") or pitch_track_ac(
-            x, sr, time_step=0.005, floor=floor, ceiling=ceiling,
-            voicing_threshold=0.3,
+    # --- stage 2: fixed-parameter speech-rate passes (:41,:104) -----------
+    sr_intensity = _stage(
+        lambda: intensity_contour_batch(
+            xs, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
+        ),
+        [None] * n, verbose, "speechrate-intensity",
+    )
+    sr_pitch = _stage(
+        lambda: pitch_track_batch(
+            xs, sr,
+            PitchParams(
+                time_step=0.02, floor=30, ceiling=450, max_candidates=4,
+                silence_threshold=0.03, voicing_threshold=0.25,
+                octave_cost=0.01, octave_jump_cost=0.35,
+                voiced_unvoiced_cost=0.25,
+            ),
+        ),
+        [None] * n, verbose, "speechrate-pitch",
+    )
+    for i in range(n):
+        try:
+            rows[i].update(speechrate_features(
+                xs[i], sr, pitch=sr_pitch[i], intensity=sr_intensity[i]
+            ))
+        except Exception:
+            pass
+
+    # --- stage 3: range-adapted passes, batched per (floor, ceiling) ------
+    main_tracks: "List[Optional[PitchTrack]]" = [None] * n
+    cpp_tracks: "List[Optional[PitchTrack]]" = [None] * n
+    cc_tracks: "List[Optional[PitchTrack]]" = [None] * n
+    groups: "Dict[tuple, list]" = {}
+    for i, rng_ in enumerate(ranges):
+        groups.setdefault(rng_, []).append(i)
+    for (floor, ceiling), idxs in groups.items():
+        grp = [xs[i] for i in idxs]
+        # main (voicing 0.45) + CPP (voicing 0.3) share one autocorr pass
+        ac = _stage(
+            lambda f=floor, c=ceiling, g=grp: pitch_track_batch_shared(
+                g, sr,
+                [PitchParams(time_step=0.005, floor=f, ceiling=c),
+                 PitchParams(time_step=0.005, floor=f, ceiling=c,
+                             voicing_threshold=0.3)],
+            ),
+            None, verbose, "main-pitch",
         )
-        vuv_pulses = point_process_cc(x, sr, p_v)
-        segments = vuv_intervals(vuv_pulses, len(x) / sr, max_period=0.02)
-        cpp_vals = []
-        for a, b, lab in segments:
-            if lab != "V" or b - a < 0.06:
-                continue
-            seg = x[int(a * sr) : int(b * sr)]
-            cg = power_cepstrogram(seg, sr, pitch_floor=60, time_step=0.002,
-                                   max_frequency=5000, preemphasis_from=50)
-            val, _ = cpps(cg, pitch_min=60, pitch_max=330)
-            if np.isfinite(val) and val > 4:
-                cpp_vals.append(val)
-        out["Cepstral_Peak_Prominence"] = (
-            float(np.mean(cpp_vals)) if cpp_vals else float("nan")
+        cc = _stage(
+            lambda f=floor, c=ceiling, g=grp: pitch_track_batch(
+                g, sr,
+                PitchParams(time_step=0.005, floor=f, ceiling=c, method="cc"),
+            ),
+            [None] * len(idxs), verbose, "cc-pitch",
         )
-    except Exception:
-        out["Cepstral_Peak_Prominence"] = float("nan")
+        intens = _stage(
+            lambda f=floor, g=grp: intensity_contour_batch(
+                g, sr, minimum_pitch=f, time_step=0.005, subtract_mean=True
+            ),
+            [None] * len(idxs), verbose, "intensity",
+        )
+        hnr = _stage(
+            lambda f=floor, g=grp: harmonicity_cc_batch(
+                g, sr, time_step=0.005, minimum_pitch=f,
+                silence_threshold=0.1, periods_per_window=4.5,
+            ),
+            [None] * len(idxs), verbose, "harmonicity",
+        )
+        for j, i in enumerate(idxs):
+            if ac is not None:
+                main_tracks[i], cpp_tracks[i] = ac[0][j], ac[1][j]
+            cc_tracks[i] = cc[j]
+            # pitch statistics (reference :164-183)
+            if main_tracks[i] is not None:
+                rows[i]["mean_F0"] = main_tracks[i].mean_hz()
+                rows[i]["stdev_F0_Semitone"] = main_tracks[i].std_semitones()
+            # intensity statistics (reference :185-205)
+            if intens[j] is not None and len(intens[j].times):
+                rows[i]["mean_dB"] = intens[j].mean_energy_db()
+                mn, mx = intens[j].min_db(), intens[j].max_db()
+                rows[i]["range_ratio_dB"] = mx / mn if mn != 0 else float("nan")
+            # HNR (reference :207-225)
+            if hnr[j] is not None:
+                rows[i]["HNR_dB"] = hnr[j].mean_db()
 
-    # Formants at glottal pulses (reference :303-338).
-    try:
-        ft = retry_transient(lambda: formant_track_burg(
-            x, sr, time_step=0.005, max_formants=5,
-            max_formant_hz=5000, window_length=0.025, preemphasis_from=50))
-        if len(pulses) == 0:
-            pcc2 = pitch_track_cc(x, sr, time_step=0.005, floor=floor, ceiling=ceiling)
-            pulses = point_process_cc(x, sr, pcc2)
-        for fi, (fkey, bkey) in enumerate(
-            [("F1", "B1"), ("F2", "B2")], start=1
-        ):
-            fv = ft.value_at(fi, pulses) if len(pulses) else np.asarray([])
-            bv = ft.bandwidth_at(fi, pulses) if len(pulses) else np.asarray([])
-            fv = np.atleast_1d(fv)
-            bv = np.atleast_1d(bv)
-            fv = fv[np.isfinite(fv)]
-            bv = bv[np.isfinite(bv)]
-            out[f"mean_{fkey}_Loc"] = float(fv.mean()) if fv.size else float("nan")
-            out[f"std_{fkey}_Loc"] = (
-                float(fv.std(ddof=1)) if fv.size > 1 else float("nan")
-            )
-            out[f"mean_{bkey}_Loc"] = float(bv.mean()) if bv.size else float("nan")
-            out[f"std_{bkey}_Loc"] = (
-                float(bv.std(ddof=1)) if bv.size > 1 else float("nan")
-            )
-    except Exception:
-        for k in ["mean_F1_Loc", "std_F1_Loc", "mean_B1_Loc", "std_B1_Loc",
-                  "mean_F2_Loc", "std_F2_Loc", "mean_B2_Loc", "std_B2_Loc"]:
-            out[k] = float("nan")
+    # --- stage 4: glottal pulses (host decision logic) ---------------------
+    cc_pulses: "List[np.ndarray]" = [np.zeros(0)] * n
+    cpp_pulses: "List[np.ndarray]" = [np.zeros(0)] * n
+    for i in range(n):
+        try:
+            if cc_tracks[i] is not None:
+                cc_pulses[i] = point_process_cc(xs[i], sr, cc_tracks[i])
+        except Exception:
+            pass
+        try:
+            if cpp_tracks[i] is not None:
+                cpp_pulses[i] = point_process_cc(xs[i], sr, cpp_tracks[i])
+        except Exception:
+            pass
 
-    # Spectral moments over voiced frames (reference :340-376).
-    try:
-        if pitch is None:
-            raise ValueError("no pitch track")
-        def voiced_at(times):
-            vals = np.atleast_1d(pitch.value_at_time(times))
+    # --- stage 5: LTAS slope + tilt (reference :227-251) -------------------
+    ltas_list = _stage(
+        lambda: ltas_pitch_corrected_batch(xs, sr, cc_pulses),
+        [None] * n, verbose, "ltas",
+    )
+    for i in range(n):
+        lt = ltas_list[i]
+        if lt is None:
+            continue
+        try:
+            rows[i]["Spectral_Slope"] = lt.slope_db(50, 1000, 1000, 4000)
+            rows[i]["Spectral_Tilt"] = lt.spectral_tilt(100, 5000)
+        except Exception:
+            pass
+
+    # --- stage 6: shared 10 kHz preprocessing (formants + CPPS) ------------
+    x10k: "List[np.ndarray]" = []
+    for i in range(n):
+        try:
+            x10k.append(cepstrum_preprocess(xs[i], sr)[0])
+        except Exception:
+            x10k.append(np.zeros(0))
+    sr10k = 10000.0
+
+    # --- stage 7: Burg formants at glottal pulses (reference :303-338) -----
+    fts = _stage(
+        lambda: formant_track_burg_batch(
+            x10k, sr10k, time_step=0.005, max_formants=5,
+            max_formant_hz=5000, window_length=0.025, preemphasis_from=50,
+            preprocessed=True,
+        ),
+        [None] * n, verbose, "formants",
+    )
+    for i in range(n):
+        ft, pulses = fts[i], cc_pulses[i]
+        if ft is None:
+            continue
+        try:
+            for fi, (fkey, bkey) in enumerate([("F1", "B1"), ("F2", "B2")], 1):
+                fv = ft.value_at(fi, pulses) if len(pulses) else np.asarray([])
+                bv = ft.bandwidth_at(fi, pulses) if len(pulses) else np.asarray([])
+                fv = np.atleast_1d(fv)
+                bv = np.atleast_1d(bv)
+                fv = fv[np.isfinite(fv)]
+                bv = bv[np.isfinite(bv)]
+                rows[i][f"mean_{fkey}_Loc"] = (
+                    float(fv.mean()) if fv.size else float("nan")
+                )
+                rows[i][f"std_{fkey}_Loc"] = (
+                    float(fv.std(ddof=1)) if fv.size > 1 else float("nan")
+                )
+                rows[i][f"mean_{bkey}_Loc"] = (
+                    float(bv.mean()) if bv.size else float("nan")
+                )
+                rows[i][f"std_{bkey}_Loc"] = (
+                    float(bv.std(ddof=1)) if bv.size > 1 else float("nan")
+                )
+        except Exception:
+            pass
+
+    # --- stage 8: CPPS over voiced segments (reference :253-301) -----------
+    items = []
+    for i in range(n):
+        try:
+            segments = vuv_intervals(
+                cpp_pulses[i], len(xs[i]) / sr, max_period=0.02
+            )
+            segs = [(a, b) for a, b, lab in segments
+                    if lab == "V" and b - a >= 0.06]
+        except Exception:
+            segs = []
+        items.append((x10k[i], segs))
+    cpp_vals = _stage(
+        lambda: cpps_segments_batch(items, sr10k, pitch_floor=60,
+                                    time_step=0.002, pitch_min=60,
+                                    pitch_max=330),
+        [float("nan")] * n, verbose, "cpps",
+    )
+    for i in range(n):
+        rows[i]["Cepstral_Peak_Prominence"] = cpp_vals[i]
+
+    # --- stage 9: spectral moments over voiced frames (reference :340-376) -
+    def _voiced_fn(track):
+        if track is None:
+            return lambda t: np.zeros(len(np.atleast_1d(t)), bool)
+
+        def fn(t):
+            vals = np.atleast_1d(track.value_at_time(t))
             return np.isfinite(vals)
-        g, s, sk, ku = voiced_mean_moments(x, sr, voiced_at, 0.025, 0.005)
-        out["Spectral_Gravity"], out["Spectral_Std_Dev"] = g, s
-        out["Spectral_Skewness"], out["Spectral_Kurtosis"] = sk, ku
-    except Exception:
-        out["Spectral_Gravity"] = out["Spectral_Std_Dev"] = float("nan")
-        out["Spectral_Skewness"] = out["Spectral_Kurtosis"] = float("nan")
 
-    return out
+        return fn
+
+    moments = _stage(
+        lambda: voiced_mean_moments_batch(
+            xs, sr, [_voiced_fn(t) for t in main_tracks], 0.025, 0.005
+        ),
+        [(float("nan"),) * 4] * n, verbose, "moments",
+    )
+    for i in range(n):
+        if main_tracks[i] is None:
+            continue
+        g, s, sk, ku = moments[i]
+        rows[i]["Spectral_Gravity"], rows[i]["Spectral_Std_Dev"] = g, s
+        rows[i]["Spectral_Skewness"], rows[i]["Spectral_Kurtosis"] = sk, ku
+
+    return rows
+
+
+def extract_mshds_single(
+    x: np.ndarray, sr: float = 16000
+) -> Dict[str, float]:
+    """All 25 MSHDS features for one mono 16 kHz waveform (a one-file corpus
+    through :func:`_extract_corpus`, so serial == batch by construction)."""
+    return _extract_corpus([np.asarray(x)], sr, verbose=False)[0]
 
 
 def extract_mshds_features(
@@ -297,12 +439,9 @@ def extract_mshds_features(
 
     ``waveforms`` may supply pre-decoded 16 kHz mono audio keyed by
     filename (skips disk IO; used by the batched pipelines and tests).
-    Files are processed by a small thread pool — the host decision logic of
-    one file overlaps the device work of others, and the jitted ops are
-    shared (XLA compilation/execution is thread-safe).
+    ``n_workers`` is kept for API compatibility; extraction is corpus-batched
+    on device rather than thread-parallel per file.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..audio.io import load_mono_16k
 
     if input_df.empty:
@@ -310,27 +449,31 @@ def extract_mshds_features(
 
     names = [os.path.basename(p) for p in input_df[audio_file_column]]
     paths = list(input_df[audio_file_column])
-
-    def one(idx: int) -> dict:
-        name = names[idx]
+    xs = []
+    ok = []
+    for idx, name in enumerate(names):
         try:
             if waveforms is not None and name in waveforms:
-                x = np.asarray(waveforms[name], dtype=np.float64)
+                xs.append(np.asarray(waveforms[name], dtype=np.float64))
             else:
-                x = load_mono_16k(paths[idx]).astype(np.float64)
-            feats = extract_mshds_single(x, 16000)
-            return {"filename": name,
-                    **{k: feats.get(k, float("nan")) for k in FEATURE_NAMES}}
+                xs.append(load_mono_16k(paths[idx]).astype(np.float64))
+            ok.append(True)
         except Exception as e:
             if verbose:
                 print(f"ERROR processing '{name}': {e}. Appending NaNs.")
-            return {"filename": name, **dict.fromkeys(FEATURE_NAMES, float("nan"))}
+            xs.append(np.zeros(0))
+            ok.append(False)
 
-    if n_workers <= 1 or len(paths) <= 1:
-        rows = [one(i) for i in range(len(paths))]
-    else:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            rows = list(pool.map(one, range(len(paths))))
+    feats = _extract_corpus(xs, 16000, verbose=verbose)
+    rows = []
+    for i, name in enumerate(names):
+        if ok[i]:
+            rows.append({"filename": name,
+                         **{k: feats[i].get(k, float("nan"))
+                            for k in FEATURE_NAMES}})
+        else:
+            rows.append({"filename": name,
+                         **dict.fromkeys(FEATURE_NAMES, float("nan"))})
     return pd.DataFrame(rows)
 
 
@@ -340,112 +483,15 @@ def extract_mshds_batch(
     n_workers: int = 4,
     verbose: bool = True,
 ) -> pd.DataFrame:
-    """Corpus-batched MSHDS extraction.
-
-    The pitch analyses — four per file, the dominant device cost — run as
-    corpus-level batches (ops.pitch.pitch_track_batch): the wide
-    speaker-adaptation pass and the fixed-parameter speech-rate pass batch
-    across ALL files; the range-adapted passes batch per (floor, ceiling)
-    group (only three possible ranges). Remaining per-file analyses reuse the
-    precomputed tracks through :func:`extract_mshds_single`.
-    """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..ops.pitch import PitchParams, pitch_track_batch
-
+    """Corpus-batched MSHDS extraction over pre-decoded waveforms (same
+    staged pipeline as :func:`extract_mshds_features`)."""
     names = list(waveforms.keys())
     xs = [np.asarray(waveforms[n], dtype=np.float64).reshape(-1) for n in names]
     if not names:
         return pd.DataFrame(columns=["filename"] + FEATURE_NAMES)
-
-    # 1) wide speaker-adaptation pass, batched over every file (:141-162).
-    wide = pitch_track_batch(
-        xs, sr, PitchParams(time_step=0.005, floor=50, ceiling=600)
-    )
-    ranges = []
-    for track in wide:
-        v = track.f0[track.f0 > 0]
-        if v.size == 0:
-            ranges.append((75, 500))
-            continue
-        z = (v - v.mean()) / max(v.std(), 1e-12)
-        v = v[np.abs(z) <= 2]
-        if v.size == 0:
-            ranges.append((75, 500))
-        else:
-            ranges.append((60, 250) if v.mean() < 170 else (100, 500))
-
-    from ..ops.intensity import intensity_contour_batch
-
-    # 2) fixed-parameter speech-rate pass, batched over every file (:104),
-    # plus its intensity contour (fixed min_pitch=50, step 16 ms, :41).
-    speechrate_intensity = intensity_contour_batch(
-        xs, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
-    )
-    speechrate_tracks = pitch_track_batch(
-        xs, sr,
-        PitchParams(
-            time_step=0.02, floor=30, ceiling=450, max_candidates=4,
-            silence_threshold=0.03, voicing_threshold=0.25, octave_cost=0.01,
-            octave_jump_cost=0.35, voiced_unvoiced_cost=0.25,
-        ),
-    )
-
-    # 3) range-adapted passes, batched per (floor, ceiling) group.
-    precomputed = [
-        dict(speechrate=speechrate_tracks[i],
-             speechrate_intensity=speechrate_intensity[i])
-        for i in range(len(xs))
-    ]
-    groups: Dict[tuple, list] = {}
-    for i, rng_ in enumerate(ranges):
-        groups.setdefault(rng_, []).append(i)
-    from ..ops.harmonicity import harmonicity_cc_batch
-
-    for (floor, ceiling), idxs in groups.items():
-        grp = [xs[i] for i in idxs]
-        intens = intensity_contour_batch(
-            grp, sr, minimum_pitch=floor, time_step=0.005, subtract_mean=True
-        )
-        hnr = harmonicity_cc_batch(
-            grp, sr, time_step=0.005, minimum_pitch=floor,
-            silence_threshold=0.1, periods_per_window=4.5,
-        )
-        main = pitch_track_batch(
-            grp, sr, PitchParams(time_step=0.005, floor=floor, ceiling=ceiling)
-        )
-        cc = pitch_track_batch(
-            grp, sr,
-            PitchParams(time_step=0.005, floor=floor, ceiling=ceiling, method="cc"),
-        )
-        cpp = pitch_track_batch(
-            grp, sr,
-            PitchParams(time_step=0.005, floor=floor, ceiling=ceiling,
-                        voicing_threshold=0.3),
-        )
-        for j, i in enumerate(idxs):
-            precomputed[i].update(
-                main=main[j], cc=cc[j], cpp=cpp[j], intensity=intens[j],
-                harmonicity=hnr[j],
-            )
-
-    # 4) remaining per-file analyses, thread pool as in the serial path.
-    def one(i: int) -> dict:
-        name = names[i]
-        try:
-            feats = extract_mshds_single(
-                xs[i], sr, precomputed=precomputed[i], pitch_range=ranges[i]
-            )
-            return {"filename": name,
-                    **{k: feats.get(k, float("nan")) for k in FEATURE_NAMES}}
-        except Exception as e:
-            if verbose:
-                print(f"ERROR processing '{name}': {e}. Appending NaNs.")
-            return {"filename": name, **dict.fromkeys(FEATURE_NAMES, float("nan"))}
-
-    if n_workers <= 1 or len(xs) <= 1:
-        rows = [one(i) for i in range(len(xs))]
-    else:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            rows = list(pool.map(one, range(len(xs))))
-    return pd.DataFrame(rows)
+    feats = _extract_corpus(xs, sr, verbose=verbose)
+    return pd.DataFrame([
+        {"filename": name,
+         **{k: feats[i].get(k, float("nan")) for k in FEATURE_NAMES}}
+        for i, name in enumerate(names)
+    ])

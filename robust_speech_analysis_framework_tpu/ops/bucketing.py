@@ -27,6 +27,15 @@ def bucket_size(n: int, min_bucket: int = _MIN_BUCKET, growth: float = _GROWTH) 
     return int(math.ceil(min_bucket * growth**k))
 
 
+def bucket_size_files(n: int, growth: float = _GROWTH) -> int:
+    """Bucket ladder for *file counts* (min bucket 1, not 64): bounds the
+    number of distinct batch dims the vmapped per-file ops compile for."""
+    if n <= 1:
+        return 1
+    k = math.ceil(math.log(n) / math.log(growth))
+    return int(math.ceil(growth**k))
+
+
 def pad_frames(frames: np.ndarray, axis: int = 0) -> Tuple[np.ndarray, int]:
     """Pad ``frames`` along ``axis`` to its bucket size by edge replication.
 

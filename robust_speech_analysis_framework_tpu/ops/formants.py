@@ -181,20 +181,141 @@ def formant_track_burg(
     roots_re = np.asarray(roots_re)[:n_frames]
     roots_im = np.asarray(roots_im)[:n_frames]
 
+    out_f, out_b = _roots_to_formants(
+        roots_re, roots_im, sr, max_formant_hz, int(max_formants)
+    )
+    return FormantTrack(centers, out_f, out_b)
+
+
+def _roots_to_formants(
+    roots_re: np.ndarray,
+    roots_im: np.ndarray,
+    sr: float,
+    max_formant_hz: float,
+    n_keep: int,
+):
+    """Vectorized root → (formant frequency, bandwidth) conversion: valid
+    upper-half-plane roots inside (50 Hz, max−50 Hz), sorted ascending per
+    frame, first ``n_keep`` kept, NaN elsewhere."""
     freq = np.abs(np.arctan2(roots_im, roots_re)) * sr / (2 * np.pi)
     mag_r = np.hypot(roots_re, roots_im)
     bw = -np.log(np.maximum(mag_r, 1e-12)) * sr / np.pi
     valid = (freq > 50.0) & (freq < max_formant_hz - 50.0) & (roots_im > 0)
 
+    f_key = np.where(valid, freq, np.inf)
+    order = np.argsort(f_key, axis=1, kind="stable")
+    f_sorted = np.take_along_axis(f_key, order, axis=1)[:, :n_keep]
+    b_sorted = np.take_along_axis(
+        np.where(valid, bw, np.nan), order, axis=1
+    )[:, :n_keep]
+    out_f = np.where(np.isfinite(f_sorted), f_sorted, np.nan)
+    out_b = np.where(np.isfinite(f_sorted), b_sorted, np.nan)
+    return out_f, out_b
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _gathered_burg_roots(x_cat, starts, window, win_len: int, order: int):
+    """Device-side framing + windowing + Burg + Durand–Kerner over gathered
+    frames of the concatenated (resampled, preemphasized) corpus buffer."""
+    from .framing import gather_frames
+
+    frames = gather_frames(x_cat, starts, win_len) * window[None, :]
+    a = burg_coeffs(frames, order)
+    re, im = durand_kerner_roots(a)
+    return jnp.stack([re, im])
+
+
+def formant_track_burg_batch(
+    xs,
+    sr: float,
+    time_step: float = 0.005,
+    max_formants: float = 5.0,
+    max_formant_hz: float = 5000.0,
+    window_length: float = 0.025,
+    preemphasis_from: float = 50.0,
+    preprocessed: bool = False,
+) -> "list[FormantTrack]":
+    """Corpus-batched :func:`formant_track_burg`: every file's analysis
+    frames go through ONE Burg + root-finding device program (same
+    device-gather design as ops.pitch.pitch_track_batch), with a single
+    device→host transfer of the root stack.
+
+    ``preprocessed=True`` means ``xs`` are already at 2·max_formant_hz and
+    preemphasized (the MSHDS pipeline shares that buffer with the
+    cepstrogram pass).
+    """
+    from ..audio.resample import resample_poly_np
+    from .bucketing import pad_frames
+
+    target_sr = 2.0 * max_formant_hz
+    prepped = []
+    for x in xs:
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        if not preprocessed:
+            if sr != target_sr:
+                g = math.gcd(int(round(target_sr)), int(round(sr)))
+                x = resample_poly_np(
+                    x, int(round(target_sr)) // g, int(round(sr)) // g
+                )
+            if len(x):
+                pre = math.exp(-2.0 * math.pi * preemphasis_from / target_sr)
+                x = np.concatenate([[x[0] * (1 - pre)], x[1:] - pre * x[:-1]])
+        prepped.append(x)
+    sr = target_sr
+
+    phys_window = 2.0 * window_length
+    win_len = int(round(phys_window * sr))
+    k = np.arange(win_len) - (win_len - 1) / 2
+    window = (np.exp(-48.0 * (k / win_len) ** 2) - math.exp(-12.0)) / (
+        1.0 - math.exp(-12.0)
+    )
+
+    metas, start_blocks, pieces = [], [], []
+    offset = 0
+    for x in prepped:
+        n_frames, t0 = praat_frame_grid(len(x), sr, phys_window, time_step)
+        centers = t0 + np.arange(max(n_frames, 0)) * time_step
+        metas.append((n_frames, centers))
+        if n_frames < 1:
+            continue
+        piece = np.pad(x, (0, win_len)).astype(np.float32)
+        starts = np.clip(
+            np.round(centers * sr - win_len / 2).astype(int),
+            0, max(len(x) - win_len, 0),
+        )
+        start_blocks.append(starts + offset)
+        pieces.append(piece)
+        offset += len(piece)
+
     n_keep = int(max_formants)
-    out_f = np.full((n_frames, n_keep), np.nan)
-    out_b = np.full((n_frames, n_keep), np.nan)
-    for i in range(n_frames):
-        fs = freq[i][valid[i]]
-        bs = bw[i][valid[i]]
-        order_idx = np.argsort(fs)
-        fs, bs = fs[order_idx], bs[order_idx]
-        m = min(len(fs), n_keep)
-        out_f[i, :m] = fs[:m]
-        out_b[i, :m] = bs[:m]
-    return FormantTrack(centers, out_f, out_b)
+    if not start_blocks:
+        return [
+            FormantTrack(m[1], np.full((max(m[0], 0), n_keep), np.nan),
+                         np.full((max(m[0], 0), n_keep), np.nan))
+            for m in metas
+        ]
+
+    x_cat = jnp.asarray(np.concatenate(pieces))
+    all_starts = np.concatenate(start_blocks).astype(np.int32)
+    starts_padded, _ = pad_frames(all_starts[:, None])
+    roots = np.asarray(
+        _gathered_burg_roots(
+            x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(window, jnp.float32),
+            win_len, int(2 * max_formants),
+        )
+    )
+
+    out = []
+    cursor = 0
+    for n_frames, centers in metas:
+        if n_frames < 1:
+            out.append(FormantTrack(
+                centers, np.full((0, n_keep), np.nan), np.full((0, n_keep), np.nan)
+            ))
+            continue
+        re = roots[0, cursor : cursor + n_frames]
+        im = roots[1, cursor : cursor + n_frames]
+        cursor += n_frames
+        f, b = _roots_to_formants(re, im, sr, max_formant_hz, n_keep)
+        out.append(FormantTrack(centers, f, b))
+    return out

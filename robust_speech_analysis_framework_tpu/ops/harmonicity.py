@@ -12,8 +12,10 @@ are undefined and excluded from summary statistics.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,6 +92,45 @@ def _hnr_from_r(r: np.ndarray, local_peak: np.ndarray, x: np.ndarray,
     )
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _gathered_hnr(
+    x_cat, starts, global_peak,
+    ext: int, win_len: int, max_lag: int, lag_min: int,
+    silence_threshold: float,
+):
+    """Device-side HNR: gathered forward cross-correlation → band peak with
+    parabolic refinement → 10·log10(r/(1−r)), NaN where silent/unvoiced.
+    Only the (N,) HNR vector crosses back to the host."""
+    from .framing import gather_frames
+
+    r, local_peak = _forward_crosscorr(
+        gather_frames(x_cat, starts, ext), win_len, max_lag
+    )
+    band = r[:, lag_min : max_lag + 1]
+    r_best = band.max(axis=1)
+    idx = band.argmax(axis=1) + lag_min
+    valid_idx = (idx > 0) & (idx < r.shape[1] - 1)
+    rows = jnp.arange(r.shape[0])
+    il = jnp.clip(idx - 1, 0, r.shape[1] - 1)
+    ir = jnp.clip(idx + 1, 0, r.shape[1] - 1)
+    dl = r[rows, idx] - r[rows, il]
+    dr_ = r[rows, idx] - r[rows, ir]
+    denom = dl + dr_
+    bump = jnp.where(
+        (denom > 0) & valid_idx,
+        0.125 * (dl - dr_) ** 2 / jnp.maximum(denom, 1e-12), 0.0,
+    )
+    r_best = jnp.minimum(r_best + bump, 0.999999999)
+    silent = local_peak < silence_threshold * global_peak
+    undefined = silent | (r_best <= 0)
+    return jnp.where(
+        undefined, jnp.nan,
+        10.0 * jnp.log10(
+            jnp.maximum(r_best, 1e-12) / jnp.maximum(1.0 - r_best, 1e-12)
+        ),
+    )
+
+
 def harmonicity_cc_batch(
     xs,
     sr: float,
@@ -99,22 +140,23 @@ def harmonicity_cc_batch(
     periods_per_window: float = 4.5,
 ) -> "list[HarmonicityContour]":
     """Batched :func:`harmonicity_cc` (device-gathered frames, one core call
-    over every file's frames — same design as ops.pitch.pitch_track_batch)."""
+    over every file's frames — same design as ops.pitch.pitch_track_batch).
+    The band-peak → HNR math runs on device (:func:`_gathered_hnr`) so only
+    (N_total,) floats transfer back."""
     from .bucketing import pad_frames
-    from .pitch import _gathered_crosscorr
 
     window_s = periods_per_window / minimum_pitch
     win_len = int(round(window_s * sr))
     max_lag = int(math.ceil(sr / minimum_pitch)) + 2
     ext = win_len + max_lag
 
-    metas, start_blocks, pieces = [], [], []
+    metas, start_blocks, pieces, gp_blocks = [], [], [], []
     offset = 0
     for x in xs:
         x = np.asarray(x, dtype=np.float64).reshape(-1)
         n_frames, t0 = praat_frame_grid(len(x), sr, window_s, time_step)
         centers = t0 + np.arange(n_frames) * time_step
-        metas.append((n_frames, centers, x))
+        metas.append((n_frames, centers))
         if n_frames < 1:
             continue
         piece = np.pad(x, (0, ext)).astype(np.float32)
@@ -123,6 +165,8 @@ def harmonicity_cc_batch(
             0, max(len(piece) - ext, 0),
         )
         start_blocks.append(starts + offset)
+        gp = float(np.max(np.abs(x - x.mean()))) or 1e-30
+        gp_blocks.append(np.full(n_frames, gp, np.float32))
         pieces.append(piece)
         offset += len(piece)
 
@@ -132,20 +176,21 @@ def harmonicity_cc_batch(
     x_cat = jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
-    r_all, peak_all = _gathered_crosscorr(
-        x_cat, jnp.asarray(starts_padded[:, 0]), ext, (win_len, max_lag)
-    )
-    r_all, peak_all = np.asarray(r_all), np.asarray(peak_all)
+    gp_padded, _ = pad_frames(np.concatenate(gp_blocks)[:, None])
+    lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))
+    hnr_all = np.asarray(
+        _gathered_hnr(
+            x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(gp_padded[:, 0]),
+            ext, win_len, max_lag, lag_min, float(silence_threshold),
+        )
+    ).astype(np.float64)
 
     out = []
     cursor = 0
-    for n_frames, centers, x in metas:
+    for n_frames, centers in metas:
         if n_frames < 1:
             out.append(HarmonicityContour(centers, np.zeros(0)))
             continue
-        r = r_all[cursor : cursor + n_frames]
-        pk = peak_all[cursor : cursor + n_frames]
+        out.append(HarmonicityContour(centers, hnr_all[cursor : cursor + n_frames]))
         cursor += n_frames
-        hnr = _hnr_from_r(r, pk, x, sr, minimum_pitch, silence_threshold, max_lag)
-        out.append(HarmonicityContour(centers, hnr))
     return out

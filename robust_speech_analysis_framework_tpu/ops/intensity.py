@@ -132,8 +132,9 @@ def intensity_contour(
 @partial(jax.jit, static_argnums=(3, 4))
 def _gathered_frame_power(x_cat, starts, window, win_len: int, subtract_mean: bool):
     """Device-side framing + windowed power (corpus-batched intensity)."""
-    idx = starts[:, None] + jnp.arange(win_len)[None, :]
-    return _frame_power(x_cat[idx], window, subtract_mean)
+    from .framing import gather_frames
+
+    return _frame_power(gather_frames(x_cat, starts, win_len), window, subtract_mean)
 
 
 def intensity_contour_batch(

@@ -59,37 +59,95 @@ def ltas_pitch_corrected(
     longest_period: float = 0.02,
     max_period_factor: float = 1.3,
 ) -> Ltas:
-    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    return ltas_pitch_corrected_batch(
+        [x], sr, [pulses], max_frequency, bandwidth,
+        shortest_period, longest_period, max_period_factor,
+    )[0]
+
+
+def ltas_pitch_corrected_batch(
+    xs,
+    sr: float,
+    pulses_list,
+    max_frequency: float = 5000.0,
+    bandwidth: float = 100.0,
+    shortest_period: float = 1e-4,
+    longest_period: float = 0.02,
+    max_period_factor: float = 1.3,
+) -> "list[Ltas]":
+    """Vectorized pitch-corrected LTAS over many files at once.
+
+    Period selection is vectorized per file; the per-period Fourier analyses
+    are grouped by FFT size (one batched host rfft per group — periods are
+    ≤ ``longest_period``·sr samples, so the FFTs are tiny and host-side) and
+    scattered into each file's fixed-bandwidth bins in one ``np.add.at``.
+    Same period-validity rules as Praat's Ltas (pitch-corrected): duration in
+    [shortest, longest] and neighbor-period ratio ≤ max_period_factor.
+    """
     n_bins = int(round(max_frequency / bandwidth))
-    accum = np.zeros(n_bins)
-    n_periods = 0
+    freqs_out = (np.arange(n_bins) + 0.5) * bandwidth
 
-    periods = np.diff(pulses)
-    for i, T in enumerate(periods):
-        if not (shortest_period <= T <= longest_period):
+    # Collect valid periods across all files: (file_idx, a_sample, length).
+    file_ids, seg_a, seg_len = [], [], []
+    xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
+    for fi, (x, pulses) in enumerate(zip(xs, pulses_list)):
+        pulses = np.asarray(pulses, dtype=np.float64).reshape(-1)
+        if len(pulses) < 2:
             continue
-        if i > 0 and periods[i - 1] > 0:
-            ratio = max(T / periods[i - 1], periods[i - 1] / T)
-            if ratio > max_period_factor:
-                continue
-        a = int(round(pulses[i] * sr))
-        b = int(round(pulses[i + 1] * sr))
-        if b <= a + 2 or b > len(x):
+        periods = np.diff(pulses)
+        ok = (periods >= shortest_period) & (periods <= longest_period)
+        prev = np.concatenate([[np.nan], periods[:-1]])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.maximum(periods / prev, prev / periods)
+        bad_ratio = np.zeros(len(periods), bool)
+        bad_ratio[1:] = (prev[1:] > 0) & (ratio[1:] > max_period_factor)
+        ok &= ~bad_ratio
+        a = np.round(pulses[:-1] * sr).astype(int)
+        b = np.round(pulses[1:] * sr).astype(int)
+        ok &= (b > a + 2) & (b <= len(x))
+        if not ok.any():
             continue
-        seg = x[a:b]
-        n_fft = 1 << int(math.ceil(math.log2(max(len(seg) * 4, 64))))
-        spec = np.abs(np.fft.rfft(seg, n_fft)) ** 2
-        freqs = np.arange(len(spec)) * sr / n_fft
-        # accumulate into fixed-bandwidth bins, normalizing per period energy
-        idx = np.clip((freqs / bandwidth).astype(int), 0, n_bins - 1)
-        e = spec.sum() or 1.0
-        np.add.at(accum, idx, spec / e)
-        n_periods += 1
+        file_ids.append(np.full(int(ok.sum()), fi))
+        seg_a.append(a[ok])
+        seg_len.append((b - a)[ok])
 
-    if n_periods == 0:
-        return Ltas(
-            (np.arange(n_bins) + 0.5) * bandwidth, np.full(n_bins, np.nan)
+    accum = np.zeros((len(xs), n_bins))
+    counts = np.zeros(len(xs), int)
+    if file_ids:
+        file_ids = np.concatenate(file_ids)
+        seg_a = np.concatenate(seg_a)
+        seg_len = np.concatenate(seg_len)
+        n_ffts = np.power(
+            2, np.ceil(np.log2(np.maximum(seg_len * 4, 64))).astype(int)
         )
-    accum /= n_periods
-    power_db = 10.0 * np.log10(np.maximum(accum, 1e-30))
-    return Ltas((np.arange(n_bins) + 0.5) * bandwidth, power_db)
+        np.add.at(counts, file_ids, 1)
+        for n_fft in np.unique(n_ffts):
+            sel = n_ffts == n_fft
+            fids, aa, ll = file_ids[sel], seg_a[sel], seg_len[sel]
+            l_max = int(ll.max())
+            # gather each period's samples, zero beyond its own length
+            gat = np.arange(l_max)[None, :]
+            mat = np.zeros((len(aa), l_max))
+            for j, fi in enumerate(np.unique(fids)):
+                rows = fids == fi
+                idx = aa[rows, None] + gat
+                m = np.take(xs[fi], np.minimum(idx, len(xs[fi]) - 1))
+                mat[rows] = m
+            mat *= gat < ll[:, None]
+            spec = np.abs(np.fft.rfft(mat, int(n_fft), axis=1)) ** 2
+            f_bins = np.arange(spec.shape[1]) * sr / n_fft
+            bin_idx = np.clip((f_bins / bandwidth).astype(int), 0, n_bins - 1)
+            e = spec.sum(axis=1, keepdims=True)
+            e = np.where(e > 0, e, 1.0)
+            spec /= e
+            flat_idx = (fids[:, None] * n_bins + bin_idx[None, :]).ravel()
+            np.add.at(accum.ravel(), flat_idx, spec.ravel())
+
+    out = []
+    for fi in range(len(xs)):
+        if counts[fi] == 0:
+            out.append(Ltas(freqs_out, np.full(n_bins, np.nan)))
+            continue
+        power_db = 10.0 * np.log10(np.maximum(accum[fi] / counts[fi], 1e-30))
+        out.append(Ltas(freqs_out, power_db))
+    return out

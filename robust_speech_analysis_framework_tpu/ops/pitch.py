@@ -420,16 +420,18 @@ def _gathered_autocorr(x_cat, starts, win_len, n_fft, max_lag, window_kind="hann
     """Device-side framing + normalized autocorrelation: the host uploads the
     concatenated waveform (small) and per-frame start indices instead of the
     materialized frame matrix (~win_len× larger)."""
-    idx = starts[:, None] + jnp.arange(win_len)[None, :]
-    frames = x_cat[idx]
+    from .framing import gather_frames
+
+    frames = gather_frames(x_cat, starts, win_len)
     return _normalized_autocorr(frames, n_fft, max_lag, window_kind)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _gathered_crosscorr(x_cat, starts, ext, win_len_max_lag):
     win_len, max_lag = win_len_max_lag
-    idx = starts[:, None] + jnp.arange(ext)[None, :]
-    return _forward_crosscorr(x_cat[idx], win_len, max_lag)
+    from .framing import gather_frames
+
+    return _forward_crosscorr(gather_frames(x_cat, starts, ext), win_len, max_lag)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -438,6 +440,23 @@ def _viterbi_batch(freqs, strengths, trans_scale, costs):
     return jax.vmap(lambda f, s: _viterbi(f, s, trans_scale, costs))(
         freqs, strengths
     )
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _select_tracks(freqs, strengths, rvals, gather_idx, trans_scale, costs):
+    """Corpus-wide candidate rows → per-file (f0, strength) tracks, entirely
+    on device: gather each file's frame rows into a padded (B, T, C) stack
+    (padding rows edge-replicate the file's last frame, matching the
+    single-file path's pad_frames convention), run the vmapped Viterbi, and
+    pick the winning candidate per frame. Returns one stacked (2, B, T)
+    array so the host needs a single device→host transfer."""
+    fp = freqs[gather_idx]
+    sp = strengths[gather_idx]
+    rp = rvals[gather_idx]
+    paths = jax.vmap(lambda f, s: _viterbi(f, s, trans_scale, costs))(fp, sp)
+    f0 = jnp.take_along_axis(fp, paths[..., None], axis=2)[..., 0]
+    st = jnp.take_along_axis(rp, paths[..., None], axis=2)[..., 0]
+    return jnp.stack([f0, st])
 
 
 def pitch_track_batch(
@@ -452,7 +471,30 @@ def pitch_track_batch(
     Equivalent to calling :func:`pitch_track_ac`/``_cc`` per file (same
     cores, same parameters), at a fraction of the dispatch/compile cost.
     """
-    from .bucketing import pad_frames
+    return pitch_track_batch_shared(xs, sr, [params])[0]
+
+
+def pitch_track_batch_shared(
+    xs, sr: float, params_list: "list[PitchParams]"
+) -> "list[list[PitchTrack]]":
+    """Batched pitch analysis sharing one correlation pass across parameter
+    variants.
+
+    All entries of ``params_list`` must agree on the frame geometry and
+    correlation method (method, floor, time_step, periods_per_window) — the
+    expensive normalized-(cross)correlation runs once, then candidate
+    scoring + Viterbi runs per variant (they may differ in voicing/silence
+    thresholds, ceiling, and transition costs). Returns one track list per
+    variant. The MSHDS pipeline uses this to share the autocorrelation
+    between its main (voicing 0.45) and CPP (voicing 0.3) passes.
+    """
+    from .bucketing import bucket_size_files, pad_frames
+
+    params = params_list[0]
+    for p in params_list[1:]:
+        assert p.method == params.method and p.floor == params.floor
+        assert p.dt == params.dt
+        assert p.periods_per_window == params.periods_per_window
 
     xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
     dt = params.dt
@@ -491,7 +533,8 @@ def pitch_track_batch(
         offset += len(piece)
 
     if not start_blocks:
-        return [PitchTrack(m[1], np.zeros(m[0]), np.zeros(m[0])) for m in metas]
+        empty = [PitchTrack(m[1], np.zeros(m[0]), np.zeros(m[0])) for m in metas]
+        return [empty for _ in params_list]
 
     x_cat = jnp.asarray(np.concatenate(cat_pieces))
     all_starts = np.concatenate(start_blocks)
@@ -509,66 +552,59 @@ def pitch_track_batch(
             x_cat, starts_j, win_len, n_fft, max_lag, window_kind
         )
 
-    # Candidate extraction per file (needs each file's own global peak), then
-    # pad to a common T for the vmapped Viterbi.
-    tracks: "list[PitchTrack]" = []
-    cursor = 0
-    cand_f, cand_s, cand_r, lengths = [], [], [], []
-    for n_frames, centers, global_peak in metas:
-        if n_frames < 1:
-            # keep every per-file list index-aligned with `metas`
-            cand_f.append(None)
-            cand_s.append(None)
-            cand_r.append(None)
-            continue
-        r = r_all[cursor : cursor + n_frames]
-        peak = peak_all[cursor : cursor + n_frames]
-        cursor += n_frames
-        freqs, strengths, rvals = _find_candidates(
-            r, peak, jnp.asarray(global_peak, jnp.float32), float(sr),
-            (float(params.floor), float(params.ceiling),
-             float(params.silence_threshold), float(params.voicing_threshold),
-             float(params.octave_cost)),
-            params.max_candidates,
-        )
-        strengths = jnp.where(freqs > params.ceiling, -1e30, strengths)
-        cand_f.append(np.asarray(freqs))
-        cand_s.append(np.asarray(strengths))
-        cand_r.append(np.asarray(rvals))
-        lengths.append(n_frames)
+    # Candidate extraction over ALL frames at once: each frame's file-level
+    # global peak is delivered as a per-frame array (traced, so no recompile
+    # per corpus), then the per-file Viterbi + winner selection runs as one
+    # device program with one transfer back (``_select_tracks``).
+    live = [i for i, m in enumerate(metas) if m[0] >= 1]
+    lengths = [metas[i][0] for i in live]
+    gp_rows = np.concatenate(
+        [np.full(metas[i][0], metas[i][2], np.float32) for i in live]
+    )
+    gp_padded, _ = pad_frames(gp_rows[:, None])
+    gp_j = jnp.asarray(gp_padded[:, 0])
 
-    live = [i for i, f in enumerate(cand_f) if f is not None]
-    if live:
-        t_max = pad_frames(np.zeros((max(lengths), 1)))[0].shape[0]
-        c = cand_f[live[0]].shape[1]
-        fs = np.zeros((len(live), t_max, c), np.float32)
-        ss = np.full((len(live), t_max, c), -1e30, np.float32)
-        for j, i in enumerate(live):
-            t_i = cand_f[i].shape[0]
-            fs[j, :t_i] = cand_f[i]
-            ss[j, :t_i] = cand_s[i]
-            # edge-replicate the last real frame into the padding so the
-            # Viterbi path continues smoothly and the boundary frame's
-            # decision matches the unpadded run (same convention as the
-            # single-file path's pad_frames)
-            fs[j, t_i:] = cand_f[i][-1]
-            ss[j, t_i:] = cand_s[i][-1]
-        trans_scale = jnp.asarray(dt / 0.01)
-        paths = np.asarray(
-            _viterbi_batch(
-                jnp.asarray(fs), jnp.asarray(ss), trans_scale,
-                (float(params.octave_jump_cost), float(params.voiced_unvoiced_cost)),
+    t_max = pad_frames(np.zeros((max(lengths), 1)))[0].shape[0]
+    b_pad = bucket_size_files(len(live))
+    gather_idx = np.zeros((b_pad, t_max), np.int32)
+    offset = 0
+    for j, i in enumerate(live):
+        n_i = metas[i][0]
+        gather_idx[j] = offset + np.minimum(np.arange(t_max), n_i - 1)
+        offset += n_i
+    gather_j = jnp.asarray(gather_idx)
+    trans_scale = jnp.asarray(dt / 0.01)
+
+    results: "list[list[PitchTrack]]" = []
+    for p in params_list:
+        freqs, strengths, rvals = _find_candidates(
+            r_all, peak_all, gp_j, float(sr),
+            (float(p.floor), float(p.ceiling),
+             float(p.silence_threshold), float(p.voicing_threshold),
+             float(p.octave_cost)),
+            p.max_candidates,
+        )
+        strengths = jnp.where(freqs > p.ceiling, -1e30, strengths)
+        f0_st = np.asarray(
+            _select_tracks(
+                freqs, strengths, rvals, gather_j, trans_scale,
+                (float(p.octave_jump_cost), float(p.voiced_unvoiced_cost)),
             )
         )
 
-    k = 0
-    for i, (n_frames, centers, _) in enumerate(metas):
-        if cand_f[i] is None:
-            tracks.append(PitchTrack(centers, np.zeros(n_frames), np.zeros(n_frames)))
-            continue
-        idx = paths[k, :n_frames]
-        f0 = cand_f[i][np.arange(n_frames), idx]
-        st = cand_r[i][np.arange(n_frames), idx]
-        tracks.append(PitchTrack(centers, f0, st))
-        k += 1
-    return tracks
+        tracks: "list[PitchTrack]" = []
+        k = 0
+        for i, (n_frames, centers, _) in enumerate(metas):
+            if n_frames < 1:
+                tracks.append(
+                    PitchTrack(centers, np.zeros(n_frames), np.zeros(n_frames))
+                )
+                continue
+            tracks.append(PitchTrack(
+                centers,
+                f0_st[0, k, :n_frames].astype(np.float64),
+                f0_st[1, k, :n_frames].astype(np.float64),
+            ))
+            k += 1
+        results.append(tracks)
+    return results

@@ -37,10 +37,38 @@ def point_process_cc(
     Sound_Pitch_to_PointProcess_cc).
     """
     x = np.asarray(x, dtype=np.float64).reshape(-1)
+    x_abs = np.abs(x)
     times = pitch.times
-    f0 = pitch.f0
-    pulses: List[float] = []
+    f0 = np.asarray(pitch.f0, dtype=np.float64)
     n = len(times)
+    n_x = len(x)
+    # Scalar-arithmetic interpolator matching PitchTrack.value_at_time
+    # (linear between voiced frames, NaN in unvoiced spans) — the marching
+    # loop below calls it once per pulse, so it must be cheap.
+    f0_nan = np.where(f0 > 0, f0, np.nan)
+    f0_list = f0_nan.tolist()
+    t0 = float(times[0]) if n else 0.0
+    dt = float(times[1] - times[0]) if n > 1 else 1.0
+    t_last = float(times[-1]) if n else 0.0
+
+    def f_at(t: float) -> float:
+        if t < t0 or t > t_last:
+            return float("nan")
+        pos = (t - t0) / dt
+        i0 = int(pos)
+        if i0 < 0:
+            i0 = 0
+        elif i0 > n - 1:
+            i0 = n - 1
+        i1 = i0 + 1 if i0 + 1 < n else n - 1
+        w = pos - i0
+        if w < 0.0:
+            w = 0.0
+        elif w > 1.0:
+            w = 1.0
+        return (1 - w) * f0_list[i0] + w * f0_list[i1]
+
+    pulses: List[float] = []
     i = 0
     while i < n:
         if f0[i] <= 0:
@@ -50,49 +78,56 @@ def point_process_cc(
         j = i
         while j < n and f0[j] > 0:
             j += 1
-        t_start, t_end = times[i], times[j - 1]
+        t_start, t_end = float(times[i]), float(times[j - 1])
         # seed at the absolute peak near the middle of the first period
-        t_mid = t_start
         T = 1.0 / f0[i]
-        a = int(max(0, (t_mid - T) * sr))
-        b = int(min(len(x), (t_mid + T) * sr))
+        a = int(max(0.0, (t_start - T) * sr))
+        b = int(min(n_x, (t_start + T) * sr))
         if b <= a:
             i = j
             continue
-        seed = (a + np.argmax(np.abs(x[a:b]))) / sr
-        pulses.append(seed)
+        seed = (a + int(np.argmax(x_abs[a:b]))) / sr
+        head: List[float] = []
+        tail: List[float] = [seed]
         # march forward
         t = seed
         while True:
-            f_here = pitch.value_at_time(min(t, t_end))
-            if not np.isfinite(f_here) or f_here <= 0:
+            f_here = f_at(t if t < t_end else t_end)
+            if not (f_here > 0):  # NaN or non-positive
                 break
             T = 1.0 / f_here
             lo = t + 0.8 * T
-            hi = t + 1.25 * T
             if lo > t_end + T:
                 break
-            a, b = int(lo * sr), min(int(hi * sr) + 1, len(x))
+            a = int(lo * sr)
+            b = int((t + 1.25 * T) * sr) + 1
+            if b > n_x:
+                b = n_x
             if b <= a:
                 break
-            t = (a + np.argmax(np.abs(x[a:b]))) / sr
-            pulses.append(t)
+            t = (a + int(np.argmax(x_abs[a:b]))) / sr
+            tail.append(t)
         # march backward from seed
         t = seed
         while True:
-            f_here = pitch.value_at_time(max(t, t_start))
-            if not np.isfinite(f_here) or f_here <= 0:
+            f_here = f_at(t if t > t_start else t_start)
+            if not (f_here > 0):
                 break
             T = 1.0 / f_here
-            lo = t - 1.25 * T
             hi = t - 0.8 * T
             if hi < t_start - T:
                 break
-            a, b = max(int(lo * sr), 0), int(hi * sr) + 1
+            a = int((t - 1.25 * T) * sr)
+            if a < 0:
+                a = 0
+            b = int(hi * sr) + 1
             if b <= a:
                 break
-            t = (a + np.argmax(np.abs(x[a:b]))) / sr
-            pulses.insert(0, t)
+            t = (a + int(np.argmax(x_abs[a:b]))) / sr
+            head.append(t)
+        head.reverse()
+        pulses.extend(head)
+        pulses.extend(tail)
         i = j
     pulses = np.asarray(sorted(set(np.round(np.asarray(pulses), 9))))
     return pulses

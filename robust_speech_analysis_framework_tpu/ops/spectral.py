@@ -109,3 +109,99 @@ def voiced_mean_moments(
         vv = v[voiced & np.isfinite(v)]
         out.append(float(vv.mean()) if vv.size else float("nan"))
     return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _gathered_frame_moments(x_cat, starts, window, win_len: int, n_fft: int):
+    """Device-side framing + power spectrum + first four spectral moments per
+    frame; only the (N, 4) moment matrix crosses back to the host (the (N, F)
+    power matrix — ~1000× larger — never leaves the device)."""
+    from .dft import rfft_power
+
+    from .framing import gather_frames
+
+    w = rfft_power(gather_frames(x_cat, starts, win_len) * window[None, :], n_fft)
+    freqs = jnp.arange(n_fft // 2 + 1, dtype=jnp.float32)
+    total = jnp.sum(w, axis=1)
+    total = jnp.where(total > 0, total, jnp.nan)
+    g = jnp.sum(w * freqs[None, :], axis=1) / total
+    d = freqs[None, :] - g[:, None]
+    var = jnp.sum(w * d * d, axis=1) / total
+    std = jnp.sqrt(var)
+    skew = jnp.sum(w * d * d * d, axis=1) / (total * std * var)
+    kurt = jnp.sum(w * d * d * d * d, axis=1) / (total * var * var) - 3.0
+    return jnp.stack([g, std, skew, kurt], axis=1)
+
+
+def voiced_mean_moments_batch(
+    xs,
+    sr: float,
+    voiced_fns,  # list of callables t -> bool array, one per file
+    window_length: float = 0.025,
+    time_step: float = 0.005,
+) -> "list[Tuple[float, float, float, float]]":
+    """Corpus-batched :func:`voiced_mean_moments`: all files' spectrogram
+    frames go through one device program computing per-frame moments (in
+    units of FFT bins, rescaled to Hz on the host), and only (N_total, 4)
+    floats are transferred back."""
+    from .bucketing import pad_frames
+    from .pitch import praat_frame_grid
+
+    phys = 2.0 * window_length
+    win_len = int(round(phys * sr))
+    k = np.arange(win_len) - (win_len - 1) / 2
+    window = (np.exp(-48.0 * (k / win_len) ** 2) - math.exp(-12.0)) / (
+        1.0 - math.exp(-12.0)
+    )
+    n_fft = 1 << int(np.ceil(np.log2(win_len)))
+    df = sr / n_fft  # Hz per FFT bin; device moments are in bin units
+
+    metas, start_blocks, pieces = [], [], []
+    offset = 0
+    for x in xs:
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        n_frames, t0 = praat_frame_grid(len(x), sr, phys, time_step)
+        centers = t0 + np.arange(max(n_frames, 0)) * time_step
+        metas.append((n_frames, centers))
+        if n_frames < 1:
+            continue
+        piece = np.pad(x, (0, win_len)).astype(np.float32)
+        starts = np.clip(
+            np.round(centers * sr - win_len / 2).astype(int),
+            0, max(len(x) - win_len, 0),
+        )
+        start_blocks.append(starts + offset)
+        pieces.append(piece)
+        offset += len(piece)
+
+    if not start_blocks:
+        return [(float("nan"),) * 4 for _ in metas]
+
+    x_cat = jnp.asarray(np.concatenate(pieces))
+    all_starts = np.concatenate(start_blocks).astype(np.int32)
+    starts_padded, _ = pad_frames(all_starts[:, None])
+    m = np.asarray(
+        _gathered_frame_moments(
+            x_cat, jnp.asarray(starts_padded[:, 0]),
+            jnp.asarray(window, jnp.float32), win_len, n_fft,
+        )
+    ).astype(np.float64)
+    # bin units → Hz (gravity/std scale by df; skew/kurt are scale-free)
+    m[:, 0] *= df
+    m[:, 1] *= df
+
+    out = []
+    cursor = 0
+    for (n_frames, centers), voiced_at in zip(metas, voiced_fns):
+        if n_frames < 1:
+            out.append((float("nan"),) * 4)
+            continue
+        mm = m[cursor : cursor + n_frames]
+        cursor += n_frames
+        voiced = np.asarray(voiced_at(centers), dtype=bool)
+        vals = []
+        for c in range(4):
+            v = mm[voiced & np.isfinite(mm[:, c]), c]
+            vals.append(float(v.mean()) if v.size else float("nan"))
+        out.append(tuple(vals))
+    return out
