@@ -22,3 +22,22 @@ Subpackage map (mirrors SURVEY.md §2 component inventory):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("RSAF_NO_COMPILE_CACHE") not in ("1", "true"):
+    # Persistent XLA compilation cache: the corpus-batched DSP ops compile
+    # one program per (bucketed shape, params) and TPU compiles are tens of
+    # seconds — caching them across processes turns every re-run's warmup
+    # from minutes into seconds. Opt out with RSAF_NO_COMPILE_CACHE=1.
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/rsaf_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the option
+        pass

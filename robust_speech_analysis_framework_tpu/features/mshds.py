@@ -21,6 +21,7 @@ so batch and serial results are identical by construction.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Dict, List, Mapping, Optional
 
@@ -29,6 +30,7 @@ import pandas as pd
 
 from ..ops.cepstrum import cepstrum_preprocess, cpps_segments_batch
 from ..ops.formants import formant_track_burg_batch
+from ..ops.framing import corpus_buffer, resample_buffer
 from ..ops.harmonicity import harmonicity_cc_batch
 from ..ops.intensity import IntensityContour, intensity_contour_batch
 from ..ops.ltas import ltas_pitch_corrected_batch
@@ -201,10 +203,20 @@ def _extract_corpus(
     if n == 0:
         return rows
 
+    # One device upload for all 16 kHz analysis stages: pad covers the
+    # largest window+lag extension used below (speech-rate pitch at
+    # floor 30 Hz -> ext 2136 samples). Offsets are aligned to the
+    # 10 kHz-resample down-factor so the formant/cepstrum buffer can be
+    # produced on device by resampling this one (no second upload).
+    _g = math.gcd(10000, int(round(sr)))
+    _up, _down = 10000 // _g, int(round(sr)) // _g
+    buf16 = corpus_buffer(xs, pad=4096, align=_down)
+
     # --- stage 1: wide speaker-adaptation pitch pass (:141-162) -----------
     wide = _stage(
         lambda: pitch_track_batch(
-            xs, sr, PitchParams(time_step=0.005, floor=50, ceiling=600)
+            xs, sr, PitchParams(time_step=0.005, floor=50, ceiling=600),
+            buf=buf16,
         ),
         None, verbose, "wide-pitch",
     )
@@ -216,7 +228,8 @@ def _extract_corpus(
     # --- stage 2: fixed-parameter speech-rate passes (:41,:104) -----------
     sr_intensity = _stage(
         lambda: intensity_contour_batch(
-            xs, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True
+            xs, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True,
+            buf=buf16,
         ),
         [None] * n, verbose, "speechrate-intensity",
     )
@@ -229,6 +242,7 @@ def _extract_corpus(
                 octave_cost=0.01, octave_jump_cost=0.35,
                 voiced_unvoiced_cost=0.25,
             ),
+            buf=buf16,
         ),
         [None] * n, verbose, "speechrate-pitch",
     )
@@ -248,34 +262,37 @@ def _extract_corpus(
     for i, rng_ in enumerate(ranges):
         groups.setdefault(rng_, []).append(i)
     for (floor, ceiling), idxs in groups.items():
-        grp = [xs[i] for i in idxs]
         # main (voicing 0.45) + CPP (voicing 0.3) share one autocorr pass
         ac = _stage(
-            lambda f=floor, c=ceiling, g=grp: pitch_track_batch_shared(
-                g, sr,
+            lambda f=floor, c=ceiling, ii=idxs: pitch_track_batch_shared(
+                None, sr,
                 [PitchParams(time_step=0.005, floor=f, ceiling=c),
                  PitchParams(time_step=0.005, floor=f, ceiling=c,
                              voicing_threshold=0.3)],
+                buf=buf16, indices=ii,
             ),
             None, verbose, "main-pitch",
         )
         cc = _stage(
-            lambda f=floor, c=ceiling, g=grp: pitch_track_batch(
-                g, sr,
+            lambda f=floor, c=ceiling, ii=idxs: pitch_track_batch(
+                None, sr,
                 PitchParams(time_step=0.005, floor=f, ceiling=c, method="cc"),
+                buf=buf16, indices=ii,
             ),
             [None] * len(idxs), verbose, "cc-pitch",
         )
         intens = _stage(
-            lambda f=floor, g=grp: intensity_contour_batch(
-                g, sr, minimum_pitch=f, time_step=0.005, subtract_mean=True
+            lambda f=floor, ii=idxs: intensity_contour_batch(
+                None, sr, minimum_pitch=f, time_step=0.005,
+                subtract_mean=True, buf=buf16, indices=ii,
             ),
             [None] * len(idxs), verbose, "intensity",
         )
         hnr = _stage(
-            lambda f=floor, g=grp: harmonicity_cc_batch(
-                g, sr, time_step=0.005, minimum_pitch=f,
+            lambda f=floor, ii=idxs: harmonicity_cc_batch(
+                None, sr, time_step=0.005, minimum_pitch=f,
                 silence_threshold=0.1, periods_per_window=4.5,
+                buf=buf16, indices=ii,
             ),
             [None] * len(idxs), verbose, "harmonicity",
         )
@@ -313,7 +330,7 @@ def _extract_corpus(
 
     # --- stage 5: LTAS slope + tilt (reference :227-251) -------------------
     ltas_list = _stage(
-        lambda: ltas_pitch_corrected_batch(xs, sr, cc_pulses),
+        lambda: ltas_pitch_corrected_batch(xs, sr, cc_pulses, buf=buf16),
         [None] * n, verbose, "ltas",
     )
     for i in range(n):
@@ -327,20 +344,31 @@ def _extract_corpus(
             pass
 
     # --- stage 6: shared 10 kHz preprocessing (formants + CPPS) ------------
-    x10k: "List[np.ndarray]" = []
-    for i in range(n):
-        try:
-            x10k.append(cepstrum_preprocess(xs[i], sr)[0])
-        except Exception:
-            x10k.append(np.zeros(0))
+    # The 10 kHz buffer is produced ON DEVICE by resampling the 16 kHz
+    # buffer (one dilated conv + fused preemphasis) — no second upload and
+    # no host resample loop.
     sr10k = 10000.0
+    pre10k = math.exp(-2.0 * math.pi * 50.0 / sr10k)
+    buf10k = _stage(
+        lambda: resample_buffer(buf16, _up, _down, preemphasis=pre10k),
+        None, verbose, "resample-10k",
+    )
+    if buf10k is None:  # host fallback (per-file resample + upload)
+        x10k: "List[np.ndarray]" = []
+        for i in range(n):
+            try:
+                x10k.append(cepstrum_preprocess(xs[i], sr)[0])
+            except Exception:
+                x10k.append(np.zeros(0))
+        buf10k = corpus_buffer(x10k, pad=1024)
+    x10k = buf10k.xs
 
     # --- stage 7: Burg formants at glottal pulses (reference :303-338) -----
     fts = _stage(
         lambda: formant_track_burg_batch(
             x10k, sr10k, time_step=0.005, max_formants=5,
             max_formant_hz=5000, window_length=0.025, preemphasis_from=50,
-            preprocessed=True,
+            preprocessed=True, buf=buf10k,
         ),
         [None] * n, verbose, "formants",
     )
@@ -386,7 +414,7 @@ def _extract_corpus(
     cpp_vals = _stage(
         lambda: cpps_segments_batch(items, sr10k, pitch_floor=60,
                                     time_step=0.002, pitch_min=60,
-                                    pitch_max=330),
+                                    pitch_max=330, buf=buf10k),
         [float("nan")] * n, verbose, "cpps",
     )
     for i in range(n):
@@ -405,7 +433,8 @@ def _extract_corpus(
 
     moments = _stage(
         lambda: voiced_mean_moments_batch(
-            xs, sr, [_voiced_fn(t) for t in main_tracks], 0.025, 0.005
+            xs, sr, [_voiced_fn(t) for t in main_tracks], 0.025, 0.005,
+            buf=buf16,
         ),
         [(float("nan"),) * 4] * n, verbose, "moments",
     )

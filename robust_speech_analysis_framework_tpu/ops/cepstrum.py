@@ -177,6 +177,7 @@ def cpps_segments_batch(
     pitch_max: float = 330.0,
     keep_above: float = 4.0,
     trend_q_start: float = 0.001,
+    buf=None,
 ) -> "list[float]":
     """Corpus-batched per-voiced-segment CPPS (reference behavior,
     src/mshds_extractor.py:277-298): every voiced segment of every file is
@@ -206,6 +207,8 @@ def cpps_segments_batch(
     band_lo, band_hi = int(band_idx[0]), int(band_idx[-1]) + 1
     trend_lo, trend_hi = int(trend_idx[0]), int(trend_idx[-1]) + 1
 
+    if buf is not None and win_len > buf.pad:
+        raise ValueError(f"corpus buffer pad {buf.pad} < window {win_len}")
     seg_meta = []  # (file_idx, n_frames)
     start_blocks, pieces = [], []
     offset = 0
@@ -218,7 +221,9 @@ def cpps_segments_batch(
             n_frames, t0 = praat_frame_grid(seg_len, sr, window_s, time_step)
             if n_frames < 1:
                 continue
-            if piece is None:
+            if buf is not None:
+                file_offset = int(buf.offsets[fi])
+            elif piece is None:
                 piece = np.pad(x, (0, win_len)).astype(np.float32)
                 pieces.append(piece)
                 file_offset = offset
@@ -234,7 +239,7 @@ def cpps_segments_batch(
     if not start_blocks:
         return [float("nan")] * len(items)
 
-    x_cat = jnp.asarray(np.concatenate(pieces))
+    x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
     prom = np.asarray(

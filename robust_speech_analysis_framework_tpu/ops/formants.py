@@ -234,6 +234,7 @@ def formant_track_burg_batch(
     window_length: float = 0.025,
     preemphasis_from: float = 50.0,
     preprocessed: bool = False,
+    buf=None,
 ) -> "list[FormantTrack]":
     """Corpus-batched :func:`formant_track_burg`: every file's analysis
     frames go through ONE Burg + root-finding device program (same
@@ -248,23 +249,28 @@ def formant_track_burg_batch(
     from .bucketing import pad_frames
 
     target_sr = 2.0 * max_formant_hz
-    prepped = []
-    for x in xs:
-        x = np.asarray(x, dtype=np.float64).reshape(-1)
-        if not preprocessed:
-            if sr != target_sr:
-                g = math.gcd(int(round(target_sr)), int(round(sr)))
-                x = resample_poly_np(
-                    x, int(round(target_sr)) // g, int(round(sr)) // g
-                )
-            if len(x):
-                pre = math.exp(-2.0 * math.pi * preemphasis_from / target_sr)
-                x = np.concatenate([[x[0] * (1 - pre)], x[1:] - pre * x[:-1]])
-        prepped.append(x)
+    if buf is not None:
+        prepped = buf.xs  # must already be at target_sr + preemphasized
+    else:
+        prepped = []
+        for x in xs:
+            x = np.asarray(x, dtype=np.float64).reshape(-1)
+            if not preprocessed:
+                if sr != target_sr:
+                    g = math.gcd(int(round(target_sr)), int(round(sr)))
+                    x = resample_poly_np(
+                        x, int(round(target_sr)) // g, int(round(sr)) // g
+                    )
+                if len(x):
+                    pre = math.exp(-2.0 * math.pi * preemphasis_from / target_sr)
+                    x = np.concatenate([[x[0] * (1 - pre)], x[1:] - pre * x[:-1]])
+            prepped.append(x)
     sr = target_sr
 
     phys_window = 2.0 * window_length
     win_len = int(round(phys_window * sr))
+    if buf is not None and win_len > buf.pad:
+        raise ValueError(f"corpus buffer pad {buf.pad} < window {win_len}")
     k = np.arange(win_len) - (win_len - 1) / 2
     window = (np.exp(-48.0 * (k / win_len) ** 2) - math.exp(-12.0)) / (
         1.0 - math.exp(-12.0)
@@ -272,20 +278,23 @@ def formant_track_burg_batch(
 
     metas, start_blocks, pieces = [], [], []
     offset = 0
-    for x in prepped:
+    for fi, x in enumerate(prepped):
         n_frames, t0 = praat_frame_grid(len(x), sr, phys_window, time_step)
         centers = t0 + np.arange(max(n_frames, 0)) * time_step
         metas.append((n_frames, centers))
         if n_frames < 1:
             continue
-        piece = np.pad(x, (0, win_len)).astype(np.float32)
+        if buf is None:
+            base = offset
+            pieces.append(np.pad(x, (0, win_len)).astype(np.float32))
+            offset += len(x) + win_len
+        else:
+            base = int(buf.offsets[fi])
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int),
             0, max(len(x) - win_len, 0),
         )
-        start_blocks.append(starts + offset)
-        pieces.append(piece)
-        offset += len(piece)
+        start_blocks.append(starts + base)
 
     n_keep = int(max_formants)
     if not start_blocks:
@@ -295,7 +304,7 @@ def formant_track_burg_batch(
             for m in metas
         ]
 
-    x_cat = jnp.asarray(np.concatenate(pieces))
+    x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
     roots = np.asarray(

@@ -15,8 +15,11 @@ used everywhere.
 
 from __future__ import annotations
 
+from typing import List, NamedTuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def gather_frames(x_cat: jnp.ndarray, starts: jnp.ndarray, win_len: int):
@@ -24,3 +27,89 @@ def gather_frames(x_cat: jnp.ndarray, starts: jnp.ndarray, win_len: int):
     return jax.vmap(
         lambda s: jax.lax.dynamic_slice(x_cat, (s,), (win_len,))
     )(starts)
+
+
+class CorpusBuffer(NamedTuple):
+    """The corpus waveform concatenation, uploaded to the device ONCE and
+    shared by every batched analysis stage.
+
+    Each file is zero-padded by ``pad`` samples inside the concatenation so
+    any op whose analysis window extends at most ``pad`` samples past a
+    file's end (window + max lag) can gather frames without bleeding into
+    the next file. Host↔device bandwidth through the per-chip tunnel is the
+    scarce resource (~50 MB/s measured); a 10-stage pipeline re-uploading
+    the waveforms would spend seconds on uploads alone.
+    """
+
+    xs: "List[np.ndarray]"  # original host waveforms (float64)
+    offsets: np.ndarray  # (n_files,) start of each file in x_cat
+    pad: int
+    x_cat: jnp.ndarray  # device-resident concatenation (float32)
+
+
+def corpus_buffer(xs, pad: int = 4096, align: int = 8) -> CorpusBuffer:
+    """Build and upload the shared corpus concatenation.
+
+    ``align`` rounds each file's padded extent up to a multiple, so file
+    offsets stay on rational-resampling phase boundaries (offset divisible
+    by the down-factor ⇒ a whole-buffer polyphase resample equals per-file
+    resampling; see :func:`resample_buffer`)."""
+    xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
+    offsets = np.zeros(len(xs), np.int64)
+    pieces = []
+    offset = 0
+    for i, x in enumerate(xs):
+        offsets[i] = offset
+        extra = (-(len(x) + pad)) % align
+        pieces.append(np.pad(x, (0, pad + extra)).astype(np.float32))
+        offset += len(x) + pad + extra
+    cat = (
+        np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+    )
+    return CorpusBuffer(xs, offsets, pad, jnp.asarray(cat))
+
+
+class _LengthOnly(np.ndarray):
+    """Zero-filled stand-in carrying only a length (device-resident corpora
+    whose host copies were never materialized)."""
+
+
+def _length_view(n: int) -> np.ndarray:
+    return np.zeros(max(int(n), 0), np.float64).view(_LengthOnly)
+
+
+def resample_buffer(
+    buf: CorpusBuffer, up: int, down: int, preemphasis: float = 0.0
+) -> CorpusBuffer:
+    """Rational-resample an entire corpus buffer ON DEVICE (one dilated
+    conv over the concatenation), with optional preemphasis fused in.
+
+    Requires every file offset divisible by ``down`` (guaranteed by
+    ``corpus_buffer(..., align=down·k)``): output sample ``o`` sits at input
+    position ``o·down/up``, so file i's resampled region starts at
+    ``offsets[i]·up/down`` exactly, and the ≥pad zeros between files make
+    each region bit-equal to resampling that file alone. The returned
+    buffer's ``xs`` are zero-filled length-only views — host code may use
+    their lengths (frame grids) but not their samples.
+
+    Note the preemphasis boundary convention: sample 0 of each file sees a
+    zero predecessor (x[0] − k·0 = x[0]), whereas the per-file host path
+    (ops.cepstrum.cepstrum_preprocess) uses Praat's x[0]·(1−k); the windows
+    taper to ~0 at frame edges so downstream features are unaffected.
+    """
+    import math as _math
+
+    from ..audio.resample import resample_poly
+
+    g = _math.gcd(up, down)
+    up, down = up // g, down // g
+    for off in buf.offsets:
+        if off % down:
+            raise ValueError("buffer offsets not aligned to resample ratio")
+    y = resample_poly(buf.x_cat, up, down)
+    if preemphasis > 0.0:
+        y = y - preemphasis * jnp.concatenate([jnp.zeros(1, y.dtype), y[:-1]])
+    new_offsets = (buf.offsets * up) // down
+    new_xs = [_length_view(-(-len(x) * up // down)) for x in buf.xs]
+    new_pad = (buf.pad * up) // down - up  # conservative: resample tail blur
+    return CorpusBuffer(new_xs, new_offsets, new_pad, y)

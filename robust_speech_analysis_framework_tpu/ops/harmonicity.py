@@ -138,6 +138,8 @@ def harmonicity_cc_batch(
     minimum_pitch: float = 75.0,
     silence_threshold: float = 0.1,
     periods_per_window: float = 4.5,
+    buf=None,
+    indices=None,
 ) -> "list[HarmonicityContour]":
     """Batched :func:`harmonicity_cc` (device-gathered frames, one core call
     over every file's frames — same design as ops.pitch.pitch_track_batch).
@@ -150,30 +152,41 @@ def harmonicity_cc_batch(
     max_lag = int(math.ceil(sr / minimum_pitch)) + 2
     ext = win_len + max_lag
 
+    if buf is not None:
+        idxs = list(indices) if indices is not None else list(range(len(buf.xs)))
+        xs = [buf.xs[i] for i in idxs]
+        if ext > buf.pad:
+            raise ValueError(f"corpus buffer pad {buf.pad} < required ext {ext}")
+    else:
+        idxs = None
+
     metas, start_blocks, pieces, gp_blocks = [], [], [], []
     offset = 0
-    for x in xs:
+    for k, x in enumerate(xs):
         x = np.asarray(x, dtype=np.float64).reshape(-1)
         n_frames, t0 = praat_frame_grid(len(x), sr, window_s, time_step)
         centers = t0 + np.arange(n_frames) * time_step
         metas.append((n_frames, centers))
         if n_frames < 1:
             continue
-        piece = np.pad(x, (0, ext)).astype(np.float32)
+        if buf is None:
+            base = offset
+            pieces.append(np.pad(x, (0, ext)).astype(np.float32))
+            offset += len(x) + ext
+        else:
+            base = int(buf.offsets[idxs[k]])
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int),
-            0, max(len(piece) - ext, 0),
+            0, max(len(x), 0),
         )
-        start_blocks.append(starts + offset)
+        start_blocks.append(starts + base)
         gp = float(np.max(np.abs(x - x.mean()))) or 1e-30
         gp_blocks.append(np.full(n_frames, gp, np.float32))
-        pieces.append(piece)
-        offset += len(piece)
 
     if not start_blocks:
         return [HarmonicityContour(m[1], np.zeros(m[0])) for m in metas]
 
-    x_cat = jnp.asarray(np.concatenate(pieces))
+    x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
     gp_padded, _ = pad_frames(np.concatenate(gp_blocks)[:, None])

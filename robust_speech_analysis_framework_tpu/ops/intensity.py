@@ -143,12 +143,15 @@ def intensity_contour_batch(
     minimum_pitch: float = 100.0,
     time_step: float = 0.0,
     subtract_mean: bool = True,
+    buf=None,
+    indices=None,
 ) -> "list[IntensityContour]":
     """Batched :func:`intensity_contour` over many waveforms.
 
     All files' frames go through one jitted power computation — waveforms are
     uploaded concatenated and framed on device (same design as
-    ops.pitch.pitch_track_batch). Bit-equivalent to the per-file path.
+    ops.pitch.pitch_track_batch), or gathered from an already-uploaded
+    ``ops.framing.CorpusBuffer``. Bit-equivalent to the per-file path.
     """
     from .bucketing import pad_frames
     from .pitch import praat_frame_grid
@@ -158,28 +161,39 @@ def intensity_contour_batch(
     win_len = int(round(window_s * sr))
     window = jnp.asarray(np.kaiser(win_len, 20.0))
 
+    if buf is not None:
+        idxs = list(indices) if indices is not None else list(range(len(buf.xs)))
+        xs = [buf.xs[i] for i in idxs]
+        if win_len > buf.pad:
+            raise ValueError(f"corpus buffer pad {buf.pad} < window {win_len}")
+    else:
+        idxs = None
+
     metas, start_blocks, pieces = [], [], []
     offset = 0
-    for x in xs:
+    for k, x in enumerate(xs):
         x = np.asarray(x, dtype=np.float64).reshape(-1)
         n_frames, t0 = praat_frame_grid(len(x), sr, window_s, dt)
         centers = t0 + np.arange(n_frames) * dt
         metas.append((n_frames, centers))
         if n_frames < 1:
             continue
-        piece = np.pad(x, (0, win_len)).astype(np.float32)
+        if buf is None:
+            base = offset
+            pieces.append(np.pad(x, (0, win_len)).astype(np.float32))
+            offset += len(x) + win_len
+        else:
+            base = int(buf.offsets[idxs[k]])
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int),
             0, max(len(x) - win_len, 0),
         )
-        start_blocks.append(starts + offset)
-        pieces.append(piece)
-        offset += len(piece)
+        start_blocks.append(starts + base)
 
     if not start_blocks:
         return [IntensityContour(m[1], np.zeros(m[0])) for m in metas]
 
-    x_cat = jnp.asarray(np.concatenate(pieces))
+    x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
     power = np.asarray(

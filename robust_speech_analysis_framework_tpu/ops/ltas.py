@@ -14,11 +14,37 @@ bins, energy-normalized per period. Slope = difference of dB band energies
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .cepstrum import _robust_line_fit
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _ltas_group_device(
+    x_cat, starts, lens, file_ids, bin_mat,
+    l_max: int, n_fft: int, n_files: int,
+):
+    """Device-side LTAS accumulation for one FFT-size group: gather each
+    period's samples (zero-masked beyond its own length), power spectrum via
+    the GEMM DFT, per-period energy normalization, scatter into
+    fixed-bandwidth bins (a matmul with a 0/1 bin-indicator), and a
+    segment-sum per file. Only (n_files, n_bins) floats transfer back."""
+    from .dft import rfft_power
+    from .framing import gather_frames
+
+    fr = gather_frames(x_cat, starts, l_max)
+    mask = jnp.arange(l_max)[None, :] < lens[:, None]
+    fr = fr * mask
+    spec = rfft_power(fr, n_fft)
+    e = jnp.sum(spec, axis=1, keepdims=True)
+    e = jnp.where(e > 0, e, 1.0)
+    binned = jnp.matmul(spec / e, bin_mat, preferred_element_type=jnp.float32)
+    return jax.ops.segment_sum(binned, file_ids, num_segments=n_files)
 
 
 class Ltas(NamedTuple):
@@ -74,21 +100,25 @@ def ltas_pitch_corrected_batch(
     shortest_period: float = 1e-4,
     longest_period: float = 0.02,
     max_period_factor: float = 1.3,
+    buf=None,
 ) -> "list[Ltas]":
     """Vectorized pitch-corrected LTAS over many files at once.
 
     Period selection is vectorized per file; the per-period Fourier analyses
-    are grouped by FFT size (one batched host rfft per group — periods are
-    ≤ ``longest_period``·sr samples, so the FFTs are tiny and host-side) and
-    scattered into each file's fixed-bandwidth bins in one ``np.add.at``.
-    Same period-validity rules as Praat's Ltas (pitch-corrected): duration in
-    [shortest, longest] and neighbor-period ratio ≤ max_period_factor.
+    are grouped by FFT size and either batched on the host (no ``buf``) or
+    run on device against an uploaded ``ops.framing.CorpusBuffer``
+    (:func:`_ltas_group_device`, one program + one tiny transfer per FFT
+    size). Same period-validity rules as Praat's Ltas (pitch-corrected):
+    duration in [shortest, longest], neighbor-period ratio ≤
+    max_period_factor.
     """
     n_bins = int(round(max_frequency / bandwidth))
     freqs_out = (np.arange(n_bins) + 0.5) * bandwidth
 
     # Collect valid periods across all files: (file_idx, a_sample, length).
     file_ids, seg_a, seg_len = [], [], []
+    if buf is not None:
+        xs = buf.xs
     xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
     for fi, (x, pulses) in enumerate(zip(xs, pulses_list)):
         pulses = np.asarray(pulses, dtype=np.float64).reshape(-1)
@@ -124,6 +154,26 @@ def ltas_pitch_corrected_batch(
         for n_fft in np.unique(n_ffts):
             sel = n_ffts == n_fft
             fids, aa, ll = file_ids[sel], seg_a[sel], seg_len[sel]
+            f_bins = np.arange(int(n_fft) // 2 + 1) * sr / n_fft
+            bin_idx = np.clip((f_bins / bandwidth).astype(int), 0, n_bins - 1)
+            if buf is not None:
+                from .bucketing import pad_frames
+
+                l_max = int(n_fft) // 4  # pow2ceil(4·len) ⇒ len ≤ n_fft/4
+                starts = aa + buf.offsets[fids]
+                starts_p, n_real = pad_frames(starts.astype(np.int32)[:, None])
+                lens_p, _ = pad_frames(ll.astype(np.int32)[:, None])
+                fids_p, _ = pad_frames(fids.astype(np.int32)[:, None])
+                lens_p = lens_p.copy()
+                lens_p[n_real:] = 0  # padded rows contribute zero spectra
+                bin_mat = np.zeros((len(f_bins), n_bins), np.float32)
+                bin_mat[np.arange(len(f_bins)), bin_idx] = 1.0
+                accum += np.asarray(_ltas_group_device(
+                    buf.x_cat, jnp.asarray(starts_p[:, 0]),
+                    jnp.asarray(lens_p[:, 0]), jnp.asarray(fids_p[:, 0]),
+                    jnp.asarray(bin_mat), l_max, int(n_fft), len(xs),
+                ))
+                continue
             l_max = int(ll.max())
             # gather each period's samples, zero beyond its own length
             gat = np.arange(l_max)[None, :]
@@ -135,8 +185,6 @@ def ltas_pitch_corrected_batch(
                 mat[rows] = m
             mat *= gat < ll[:, None]
             spec = np.abs(np.fft.rfft(mat, int(n_fft), axis=1)) ** 2
-            f_bins = np.arange(spec.shape[1]) * sr / n_fft
-            bin_idx = np.clip((f_bins / bandwidth).astype(int), 0, n_bins - 1)
             e = spec.sum(axis=1, keepdims=True)
             e = np.where(e > 0, e, 1.0)
             spec /= e

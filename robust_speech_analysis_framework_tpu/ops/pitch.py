@@ -460,7 +460,7 @@ def _select_tracks(freqs, strengths, rvals, gather_idx, trans_scale, costs):
 
 
 def pitch_track_batch(
-    xs, sr: float, params: PitchParams
+    xs, sr: float, params: PitchParams, buf=None, indices=None
 ) -> "list[PitchTrack]":
     """Batched pitch analysis over many waveforms at once.
 
@@ -471,11 +471,12 @@ def pitch_track_batch(
     Equivalent to calling :func:`pitch_track_ac`/``_cc`` per file (same
     cores, same parameters), at a fraction of the dispatch/compile cost.
     """
-    return pitch_track_batch_shared(xs, sr, [params])[0]
+    return pitch_track_batch_shared(xs, sr, [params], buf, indices)[0]
 
 
 def pitch_track_batch_shared(
-    xs, sr: float, params_list: "list[PitchParams]"
+    xs, sr: float, params_list: "list[PitchParams]",
+    buf=None, indices=None,
 ) -> "list[list[PitchTrack]]":
     """Batched pitch analysis sharing one correlation pass across parameter
     variants.
@@ -496,7 +497,12 @@ def pitch_track_batch_shared(
         assert p.dt == params.dt
         assert p.periods_per_window == params.periods_per_window
 
-    xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
+    if buf is not None:
+        idxs = list(indices) if indices is not None else list(range(len(buf.xs)))
+        xs = [buf.xs[i] for i in idxs]
+    else:
+        idxs = None
+        xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
     dt = params.dt
     window_s = params.periods_per_window / params.floor
     win_len = int(round(window_s * sr))
@@ -504,39 +510,46 @@ def pitch_track_batch_shared(
     n_fft = 1 << int(np.ceil(np.log2(win_len + max_lag + 1)))
 
     ext = win_len + max_lag
+    if buf is not None and ext > buf.pad:
+        raise ValueError(f"corpus buffer pad {buf.pad} < required ext {ext}")
     metas = []  # (n_frames, centers, global_peak)
     start_blocks = []
     cat_pieces = []
     offset = 0
-    for x in xs:
+    for k, x in enumerate(xs):
         n_frames, t0 = praat_frame_grid(len(x), sr, window_s, dt)
         centers = t0 + np.arange(n_frames) * dt
         global_peak = float(np.max(np.abs(x - x.mean()))) if len(x) else 1e-30
         metas.append((n_frames, centers, global_peak or 1e-30))
         if n_frames < 1:
             continue
-        # Each file is padded so any window/extension stays inside its own
-        # region of the concatenated buffer.
-        piece = np.pad(x, (0, ext)).astype(np.float32)
+        if buf is None:
+            # Each file is padded so any window/extension stays inside its
+            # own region of the concatenated buffer.
+            base = offset
+            cat_pieces.append(np.pad(x, (0, ext)).astype(np.float32))
+            offset += len(x) + ext
+        else:
+            base = int(buf.offsets[idxs[k]])
         if params.method == "cc":
             starts = np.clip(
                 np.round(centers * sr - win_len / 2).astype(int),
-                0, max(len(piece) - ext, 0),
+                0, max(len(x), 0),
             )
         else:
             starts = np.clip(
                 np.round(centers * sr - win_len / 2).astype(int),
                 0, max(len(x) - win_len, 0),
             )
-        start_blocks.append(starts + offset)
-        cat_pieces.append(piece)
-        offset += len(piece)
+        start_blocks.append(starts + base)
 
     if not start_blocks:
         empty = [PitchTrack(m[1], np.zeros(m[0]), np.zeros(m[0])) for m in metas]
         return [empty for _ in params_list]
 
-    x_cat = jnp.asarray(np.concatenate(cat_pieces))
+    x_cat = (
+        buf.x_cat if buf is not None else jnp.asarray(np.concatenate(cat_pieces))
+    )
     all_starts = np.concatenate(start_blocks)
     # Bucket the frame count; padded rows re-gather the first frame (results
     # for them are discarded when splitting per file below).

@@ -139,6 +139,8 @@ def voiced_mean_moments_batch(
     voiced_fns,  # list of callables t -> bool array, one per file
     window_length: float = 0.025,
     time_step: float = 0.005,
+    buf=None,
+    indices=None,
 ) -> "list[Tuple[float, float, float, float]]":
     """Corpus-batched :func:`voiced_mean_moments`: all files' spectrogram
     frames go through one device program computing per-frame moments (in
@@ -156,28 +158,39 @@ def voiced_mean_moments_batch(
     n_fft = 1 << int(np.ceil(np.log2(win_len)))
     df = sr / n_fft  # Hz per FFT bin; device moments are in bin units
 
+    if buf is not None:
+        idxs = list(indices) if indices is not None else list(range(len(buf.xs)))
+        xs = [buf.xs[i] for i in idxs]
+        if win_len > buf.pad:
+            raise ValueError(f"corpus buffer pad {buf.pad} < window {win_len}")
+    else:
+        idxs = None
+
     metas, start_blocks, pieces = [], [], []
     offset = 0
-    for x in xs:
+    for k2, x in enumerate(xs):
         x = np.asarray(x, dtype=np.float64).reshape(-1)
         n_frames, t0 = praat_frame_grid(len(x), sr, phys, time_step)
         centers = t0 + np.arange(max(n_frames, 0)) * time_step
         metas.append((n_frames, centers))
         if n_frames < 1:
             continue
-        piece = np.pad(x, (0, win_len)).astype(np.float32)
+        if buf is None:
+            base = offset
+            pieces.append(np.pad(x, (0, win_len)).astype(np.float32))
+            offset += len(x) + win_len
+        else:
+            base = int(buf.offsets[idxs[k2]])
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int),
             0, max(len(x) - win_len, 0),
         )
-        start_blocks.append(starts + offset)
-        pieces.append(piece)
-        offset += len(piece)
+        start_blocks.append(starts + base)
 
     if not start_blocks:
         return [(float("nan"),) * 4 for _ in metas]
 
-    x_cat = jnp.asarray(np.concatenate(pieces))
+    x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
     m = np.asarray(
