@@ -107,6 +107,8 @@ def bench_cnn_lstm() -> dict:
     from robust_speech_analysis_framework_tpu.models import CNNLSTM
 
     BATCH, SEQ_LEN, PAD_LEN, FPS = 128, 4378, 4480, 49.9
+    if jax.default_backend() == "cpu":
+        BATCH = 8  # CPU baseline at the torch-baseline batch size
     model = CNNLSTM(input_dim=768, cnn_out_channels=128, lstm_hidden_dim=128)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, PAD_LEN, 768)), jnp.float32
@@ -116,7 +118,7 @@ def bench_cnn_lstm() -> dict:
     fwd = jax.jit(lambda v, x, l: model.apply(v, x, train=False, lengths=l))
     np.asarray(fwd(variables, x, lengths))
     times = []
-    for i in range(5):
+    for i in range(5 if BATCH > 8 else 2):
         t0 = time.perf_counter()
         np.asarray(fwd(variables, x + jnp.float32(i * 1e-6), lengths))
         times.append(time.perf_counter() - t0)
@@ -182,17 +184,108 @@ def run_stage(name: str, quick: bool) -> dict:
     raise ValueError(name)
 
 
+def _load_json(path):
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
+def _attach_ratio(name: str, result: dict, baselines: dict) -> None:
+    """Annotate ``result`` with vs_baseline against the stored CPU numbers.
+
+    Extraction/inference stages compare audio-sec/sec; the cv_round stage
+    compares wall seconds (lower is better, so ratio = baseline/ours)."""
+    base = baselines.get(name)
+    if not base or "error" in result:
+        return
+    try:
+        if "audio_sec_per_sec" in result and "audio_sec_per_sec" in base:
+            result["vs_baseline"] = (
+                result["audio_sec_per_sec"] / base["audio_sec_per_sec"]
+            )
+            result["baseline_impl"] = base.get("impl", "jax-cpu")
+        elif name == "cv_round":
+            for key in ("svm_standard_5fold_seconds", "dl_3fold_seconds"):
+                if key in result and base.get(key):
+                    result[f"vs_baseline_{key}"] = base[key] / result[key]
+            result["baseline_impl"] = base.get("impl", "jax-cpu")
+    except Exception:
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--stage", default=None, help="run ONE stage inline")
     parser.add_argument("--inline", action="store_true",
                         help="run all stages in this process (no isolation)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (baseline measurement)")
+    parser.add_argument(
+        "--baseline", action="store_true",
+        help="measure every stage on the CPU backend and store the numbers "
+             "in benchmarks/baselines.json (the 'reference CPU' side of "
+             "BASELINE.md:41-43; note this host is 1-core)",
+    )
     args = parser.parse_args()
+
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        # the site hook re-pins JAX_PLATFORMS at interpreter start; the
+        # config flag is authoritative (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
 
     if args.stage:
         result = run_stage(args.stage, args.quick)
         print("STAGE_RESULT " + json.dumps(result))
+        return
+
+    if args.baseline:
+        import subprocess
+        import sys
+
+        base_path = os.path.join(os.path.dirname(__file__), "baselines.json")
+        baselines = _load_json(base_path)
+        for name in STAGES:
+            cmd = [sys.executable, "-m", "benchmarks.suite",
+                   "--stage", name, "--cpu"]
+            if args.quick:
+                cmd.append("--quick")
+            t0 = time.perf_counter()
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=3600,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines()
+                     if l.startswith("STAGE_RESULT ")), None,
+                )
+                if line:
+                    entry = json.loads(line[len("STAGE_RESULT "):])
+                    entry["impl"] = "jax-cpu"
+                    entry["nproc"] = os.cpu_count()
+                    if name == "cnn_lstm_infer" and name in baselines and \
+                            baselines[name].get("impl") == "torch-cpu":
+                        # keep the torch-CPU number as the reference-stack
+                        # baseline; store the jax-cpu one alongside
+                        baselines["cnn_lstm_infer_jaxcpu"] = entry
+                    else:
+                        baselines[name] = entry
+                    print(f"{name}: {json.dumps(entry)}")
+                else:
+                    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+                    print(f"{name}: ERROR {' | '.join(tail[-3:])[:300]}")
+            except subprocess.TimeoutExpired:
+                print(f"{name}: timeout")
+            print(f"  ({time.perf_counter() - t0:.1f}s)")
+        with open(base_path, "w") as fh:
+            json.dump(baselines, fh, indent=2)
+        print(f"written: {base_path}")
         return
 
     import subprocess
@@ -233,6 +326,10 @@ def main():
                 except subprocess.TimeoutExpired:
                     results[name] = {"error": "stage timeout"}
         results[name]["total_seconds"] = time.perf_counter() - t0
+        _attach_ratio(
+            name, results[name],
+            _load_json(os.path.join(os.path.dirname(__file__), "baselines.json")),
+        )
         print(f"{name}: {json.dumps(results[name])}")
 
     out = os.path.join(os.path.dirname(__file__), "results.json")

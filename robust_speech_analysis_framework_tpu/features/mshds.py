@@ -190,6 +190,62 @@ def _stage(fn, default, verbose: bool, label: str):
         return default
 
 
+class _Level:
+    """One pipeline level of independent deferred stages.
+
+    ``add`` dispatches a stage (async — the device program is queued and
+    the call returns immediately); ``collect`` fetches every stage's device
+    outputs in ONE overlapped transfer and finalizes them. The tunnel to
+    the chip costs ~100 ms per synchronous round trip, so collapsing the
+    pipeline's dozen per-stage syncs into three level syncs is worth ~1 s
+    per corpus. Failure semantics match :func:`_stage`: a failed dispatch
+    or finalize degrades that stage to its default (NaN features), never
+    the whole corpus.
+    """
+
+    def __init__(self, verbose: bool):
+        self.verbose = verbose
+        self.stages: list = []  # (label, deferred|None, default)
+
+    def add(self, fn, default, label: str):
+        """Dispatch ``fn()`` (which must return an ops.framing.Deferred);
+        returns an index into this level's results."""
+        try:
+            d = fn()
+        except Exception as e:
+            if self.verbose:
+                print(f"MSHDS stage '{label}' failed: {e}. NaN-filling.")
+            d = None
+        self.stages.append((label, d, default))
+        return len(self.stages) - 1
+
+    def collect(self) -> list:
+        import jax
+
+        live = [(i, d) for i, (_, d, _) in enumerate(self.stages) if d is not None]
+        results = [default for (_, _, default) in self.stages]
+        host = None
+        if live:
+            try:
+                host = retry_transient(
+                    lambda: jax.device_get([d.arrays for _, d in live])
+                )
+            except Exception as e:
+                if self.verbose:
+                    print(f"MSHDS level fetch failed: {e}. NaN-filling.")
+        if host is not None:
+            for (i, d), h in zip(live, host):
+                try:
+                    results[i] = d.finalize(h)
+                except Exception as e:
+                    if self.verbose:
+                        print(
+                            f"MSHDS stage '{self.stages[i][0]}' failed: {e}."
+                            " NaN-filling."
+                        )
+        return results
+
+
 def _extract_corpus(
     xs: "List[np.ndarray]", sr: float, verbose: bool = True
 ) -> "List[Dict[str, float]]":
@@ -212,39 +268,104 @@ def _extract_corpus(
     _up, _down = 10000 // _g, int(round(sr)) // _g
     buf16 = corpus_buffer(xs, pad=4096, align=_down)
 
-    # --- stage 1: wide speaker-adaptation pitch pass (:141-162) -----------
-    wide = _stage(
-        lambda: pitch_track_batch(
-            xs, sr, PitchParams(time_step=0.005, floor=50, ceiling=600),
-            buf=buf16,
-        ),
-        None, verbose, "wide-pitch",
-    )
-    ranges = (
-        [_range_from_track(t) for t in wide] if wide is not None
-        else [(75, 500)] * n
-    )
+    # Three dispatch→collect levels (see _Level): stages inside a level are
+    # independent and fetch together with one overlapped transfer.
+    #
+    # L0: wide-pitch + speech-rate passes + every stage whose DEVICE work
+    #     has no data dependency on earlier host decisions (spectral
+    #     moments — the voiced mask is finalize-time host work; Burg
+    #     formants — pulses only matter when sampling the finished track).
+    # L1: the range-adapted passes (need the wide track's floor/ceiling).
+    # L2: LTAS + CPPS (need glottal pulses, a host decision from L1 tracks).
 
-    # --- stage 2: fixed-parameter speech-rate passes (:41,:104) -----------
-    sr_intensity = _stage(
-        lambda: intensity_contour_batch(
-            xs, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True,
-            buf=buf16,
-        ),
-        [None] * n, verbose, "speechrate-intensity",
+    main_tracks: "List[Optional[PitchTrack]]" = [None] * n
+
+    def _voiced_fn(track):
+        if track is None:
+            return lambda t: np.zeros(len(np.atleast_1d(t)), bool)
+
+        def fn(t):
+            vals = np.atleast_1d(track.value_at_time(t))
+            return np.isfinite(vals)
+
+        return fn
+
+    # --- L0 dispatch -------------------------------------------------------
+    sr10k = 10000.0
+    pre10k = math.exp(-2.0 * math.pi * 50.0 / sr10k)
+    buf10k = _stage(
+        lambda: resample_buffer(buf16, _up, _down, preemphasis=pre10k),
+        None, verbose, "resample-10k",
     )
-    sr_pitch = _stage(
+    if buf10k is None:  # host fallback (per-file resample + upload)
+        x10k_list: "List[np.ndarray]" = []
+        for i in range(n):
+            try:
+                x10k_list.append(cepstrum_preprocess(xs[i], sr)[0])
+            except Exception:
+                x10k_list.append(np.zeros(0))
+        buf10k = corpus_buffer(x10k_list, pad=1024)
+    x10k = buf10k.xs
+
+    l0 = _Level(verbose)
+    # wide speaker-adaptation pitch pass (:141-162)
+    k_wide = l0.add(
         lambda: pitch_track_batch(
-            xs, sr,
+            None, sr, PitchParams(time_step=0.005, floor=50, ceiling=600),
+            buf=buf16, defer=True,
+        ),
+        None, "wide-pitch",
+    )
+    # fixed-parameter speech-rate passes (:41,:104)
+    k_srint = l0.add(
+        lambda: intensity_contour_batch(
+            None, sr, minimum_pitch=50, time_step=0.016, subtract_mean=True,
+            buf=buf16, defer=True,
+        ),
+        [None] * n, "speechrate-intensity",
+    )
+    k_srpitch = l0.add(
+        lambda: pitch_track_batch(
+            None, sr,
             PitchParams(
                 time_step=0.02, floor=30, ceiling=450, max_candidates=4,
                 silence_threshold=0.03, voicing_threshold=0.25,
                 octave_cost=0.01, octave_jump_cost=0.35,
                 voiced_unvoiced_cost=0.25,
             ),
-            buf=buf16,
+            buf=buf16, defer=True,
         ),
-        [None] * n, verbose, "speechrate-pitch",
+        [None] * n, "speechrate-pitch",
+    )
+    # spectral moments (:340-376): device part is voicing-independent; the
+    # voiced mask binds late (main_tracks is filled by L1's collect below).
+    tail = _Level(verbose)  # collected LAST
+    t_moments = tail.add(
+        lambda: voiced_mean_moments_batch(
+            None, sr,
+            lambda: [_voiced_fn(t) for t in main_tracks],
+            0.025, 0.005, buf=buf16, defer=True,
+        ),
+        [(float("nan"),) * 4] * n, "moments",
+    )
+    # Burg formants on the 10 kHz buffer (:303-338); pulses sample the
+    # finished track on the host after collect.
+    t_formants = tail.add(
+        lambda: formant_track_burg_batch(
+            x10k, sr10k, time_step=0.005, max_formants=5,
+            max_formant_hz=5000, window_length=0.025, preemphasis_from=50,
+            preprocessed=True, buf=buf10k, defer=True,
+        ),
+        [None] * n, "formants",
+    )
+
+    l0_res = l0.collect()
+    wide = l0_res[k_wide]
+    sr_intensity = l0_res[k_srint]
+    sr_pitch = l0_res[k_srpitch]
+    ranges = (
+        [_range_from_track(t) for t in wide] if wide is not None
+        else [(75, 500)] * n
     )
     for i in range(n):
         try:
@@ -254,48 +375,57 @@ def _extract_corpus(
         except Exception:
             pass
 
-    # --- stage 3: range-adapted passes, batched per (floor, ceiling) ------
-    main_tracks: "List[Optional[PitchTrack]]" = [None] * n
+    # --- L1: range-adapted passes, batched per (floor, ceiling) ------------
     cpp_tracks: "List[Optional[PitchTrack]]" = [None] * n
     cc_tracks: "List[Optional[PitchTrack]]" = [None] * n
     groups: "Dict[tuple, list]" = {}
     for i, rng_ in enumerate(ranges):
         groups.setdefault(rng_, []).append(i)
+    l1 = _Level(verbose)
+    group_keys = {}
     for (floor, ceiling), idxs in groups.items():
         # main (voicing 0.45) + CPP (voicing 0.3) share one autocorr pass
-        ac = _stage(
-            lambda f=floor, c=ceiling, ii=idxs: pitch_track_batch_shared(
-                None, sr,
-                [PitchParams(time_step=0.005, floor=f, ceiling=c),
-                 PitchParams(time_step=0.005, floor=f, ceiling=c,
-                             voicing_threshold=0.3)],
-                buf=buf16, indices=ii,
+        group_keys[(floor, ceiling)] = (
+            l1.add(
+                lambda f=floor, c=ceiling, ii=idxs: pitch_track_batch_shared(
+                    None, sr,
+                    [PitchParams(time_step=0.005, floor=f, ceiling=c),
+                     PitchParams(time_step=0.005, floor=f, ceiling=c,
+                                 voicing_threshold=0.3)],
+                    buf=buf16, indices=ii, defer=True,
+                ),
+                None, "main-pitch",
             ),
-            None, verbose, "main-pitch",
-        )
-        cc = _stage(
-            lambda f=floor, c=ceiling, ii=idxs: pitch_track_batch(
-                None, sr,
-                PitchParams(time_step=0.005, floor=f, ceiling=c, method="cc"),
-                buf=buf16, indices=ii,
+            l1.add(
+                lambda f=floor, c=ceiling, ii=idxs: pitch_track_batch(
+                    None, sr,
+                    PitchParams(time_step=0.005, floor=f, ceiling=c,
+                                method="cc"),
+                    buf=buf16, indices=ii, defer=True,
+                ),
+                [None] * len(idxs), "cc-pitch",
             ),
-            [None] * len(idxs), verbose, "cc-pitch",
-        )
-        intens = _stage(
-            lambda f=floor, ii=idxs: intensity_contour_batch(
-                None, sr, minimum_pitch=f, time_step=0.005,
-                subtract_mean=True, buf=buf16, indices=ii,
+            l1.add(
+                lambda f=floor, ii=idxs: intensity_contour_batch(
+                    None, sr, minimum_pitch=f, time_step=0.005,
+                    subtract_mean=True, buf=buf16, indices=ii, defer=True,
+                ),
+                [None] * len(idxs), "intensity",
             ),
-            [None] * len(idxs), verbose, "intensity",
-        )
-        hnr = _stage(
-            lambda f=floor, ii=idxs: harmonicity_cc_batch(
-                None, sr, time_step=0.005, minimum_pitch=f,
-                silence_threshold=0.1, periods_per_window=4.5,
-                buf=buf16, indices=ii,
+            l1.add(
+                lambda f=floor, ii=idxs: harmonicity_cc_batch(
+                    None, sr, time_step=0.005, minimum_pitch=f,
+                    silence_threshold=0.1, periods_per_window=4.5,
+                    buf=buf16, indices=ii, defer=True,
+                ),
+                [None] * len(idxs), "harmonicity",
             ),
-            [None] * len(idxs), verbose, "harmonicity",
         )
+    l1_res = l1.collect()
+    for (floor, ceiling), idxs in groups.items():
+        k_ac, k_cc, k_int, k_hnr = group_keys[(floor, ceiling)]
+        ac, cc = l1_res[k_ac], l1_res[k_cc]
+        intens, hnr = l1_res[k_int], l1_res[k_hnr]
         for j, i in enumerate(idxs):
             if ac is not None:
                 main_tracks[i], cpp_tracks[i] = ac[0][j], ac[1][j]
@@ -313,7 +443,7 @@ def _extract_corpus(
             if hnr[j] is not None:
                 rows[i]["HNR_dB"] = hnr[j].mean_db()
 
-    # --- stage 4: glottal pulses (host decision logic) ---------------------
+    # --- glottal pulses (host decision logic) ------------------------------
     cc_pulses: "List[np.ndarray]" = [np.zeros(0)] * n
     cpp_pulses: "List[np.ndarray]" = [np.zeros(0)] * n
     for i in range(n):
@@ -328,11 +458,38 @@ def _extract_corpus(
         except Exception:
             pass
 
-    # --- stage 5: LTAS slope + tilt (reference :227-251) -------------------
-    ltas_list = _stage(
-        lambda: ltas_pitch_corrected_batch(xs, sr, cc_pulses, buf=buf16),
-        [None] * n, verbose, "ltas",
+    # --- L2: pulse-dependent stages ----------------------------------------
+    t_ltas = tail.add(
+        lambda: ltas_pitch_corrected_batch(
+            xs, sr, cc_pulses, buf=buf16, defer=True
+        ),
+        [None] * n, "ltas",
     )
+    items = []
+    for i in range(n):
+        try:
+            segments = vuv_intervals(
+                cpp_pulses[i], len(xs[i]) / sr, max_period=0.02
+            )
+            segs = [(a, b) for a, b, lab in segments
+                    if lab == "V" and b - a >= 0.06]
+        except Exception:
+            segs = []
+        items.append((x10k[i], segs))
+    t_cpps = tail.add(
+        lambda: cpps_segments_batch(items, sr10k, pitch_floor=60,
+                                    time_step=0.002, pitch_min=60,
+                                    pitch_max=330, buf=buf10k, defer=True),
+        [float("nan")] * n, "cpps",
+    )
+
+    tail_res = tail.collect()
+    moments = tail_res[t_moments]
+    fts = tail_res[t_formants]
+    ltas_list = tail_res[t_ltas]
+    cpp_vals = tail_res[t_cpps]
+
+    # LTAS slope + tilt (reference :227-251)
     for i in range(n):
         lt = ltas_list[i]
         if lt is None:
@@ -343,35 +500,7 @@ def _extract_corpus(
         except Exception:
             pass
 
-    # --- stage 6: shared 10 kHz preprocessing (formants + CPPS) ------------
-    # The 10 kHz buffer is produced ON DEVICE by resampling the 16 kHz
-    # buffer (one dilated conv + fused preemphasis) — no second upload and
-    # no host resample loop.
-    sr10k = 10000.0
-    pre10k = math.exp(-2.0 * math.pi * 50.0 / sr10k)
-    buf10k = _stage(
-        lambda: resample_buffer(buf16, _up, _down, preemphasis=pre10k),
-        None, verbose, "resample-10k",
-    )
-    if buf10k is None:  # host fallback (per-file resample + upload)
-        x10k: "List[np.ndarray]" = []
-        for i in range(n):
-            try:
-                x10k.append(cepstrum_preprocess(xs[i], sr)[0])
-            except Exception:
-                x10k.append(np.zeros(0))
-        buf10k = corpus_buffer(x10k, pad=1024)
-    x10k = buf10k.xs
-
-    # --- stage 7: Burg formants at glottal pulses (reference :303-338) -----
-    fts = _stage(
-        lambda: formant_track_burg_batch(
-            x10k, sr10k, time_step=0.005, max_formants=5,
-            max_formant_hz=5000, window_length=0.025, preemphasis_from=50,
-            preprocessed=True, buf=buf10k,
-        ),
-        [None] * n, verbose, "formants",
-    )
+    # Formants sampled at glottal pulses (reference :303-338)
     for i in range(n):
         ft, pulses = fts[i], cc_pulses[i]
         if ft is None:
@@ -399,45 +528,11 @@ def _extract_corpus(
         except Exception:
             pass
 
-    # --- stage 8: CPPS over voiced segments (reference :253-301) -----------
-    items = []
-    for i in range(n):
-        try:
-            segments = vuv_intervals(
-                cpp_pulses[i], len(xs[i]) / sr, max_period=0.02
-            )
-            segs = [(a, b) for a, b, lab in segments
-                    if lab == "V" and b - a >= 0.06]
-        except Exception:
-            segs = []
-        items.append((x10k[i], segs))
-    cpp_vals = _stage(
-        lambda: cpps_segments_batch(items, sr10k, pitch_floor=60,
-                                    time_step=0.002, pitch_min=60,
-                                    pitch_max=330, buf=buf10k),
-        [float("nan")] * n, verbose, "cpps",
-    )
+    # CPPS over voiced segments (reference :253-301)
     for i in range(n):
         rows[i]["Cepstral_Peak_Prominence"] = cpp_vals[i]
 
-    # --- stage 9: spectral moments over voiced frames (reference :340-376) -
-    def _voiced_fn(track):
-        if track is None:
-            return lambda t: np.zeros(len(np.atleast_1d(t)), bool)
-
-        def fn(t):
-            vals = np.atleast_1d(track.value_at_time(t))
-            return np.isfinite(vals)
-
-        return fn
-
-    moments = _stage(
-        lambda: voiced_mean_moments_batch(
-            xs, sr, [_voiced_fn(t) for t in main_tracks], 0.025, 0.005,
-            buf=buf16,
-        ),
-        [(float("nan"),) * 4] * n, verbose, "moments",
-    )
+    # Spectral moments over voiced frames (reference :340-376)
     for i in range(n):
         if main_tracks[i] is None:
             continue

@@ -287,16 +287,36 @@ class OpenSmileExtractor:
         mfcc, energy = np.asarray(mfcc), np.asarray(energy)
         zcr, inten, spect = np.asarray(zcr), np.asarray(inten), np.asarray(spect)
 
-        from concurrent.futures import ThreadPoolExecutor
+        # Jitter period marching: one vmapped while_loop device program for
+        # the whole bucket (ops.jitter.mark_periods_batch); the NumPy march
+        # remains the oracle/fallback.
+        from ..ops.jitter import mark_periods_batch, periods_to_llds
+
+        nts = [int(v) for v in n_frames_true]
+        try:
+            period_tracks = mark_periods_batch(
+                stack, cfg.sample_rate, f0,
+                [len(x) for _, x in items], nts,
+                hop_s=cfg.hop_seconds,
+                search_range_rel=self.config.jitter_search_range,
+            )
+        except Exception:
+            period_tracks = None
 
         def file_lld(i_item):
             i, (name, x) = i_item
-            nt = int(n_frames_true[i])
-            vq = jitter_shimmer_llds(
-                x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
-                hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
-                search_range_rel=self.config.jitter_search_range,
-            )
+            nt = nts[i]
+            if period_tracks is not None:
+                vq = periods_to_llds(
+                    period_tracks[i], f0[i, :nt], cfg.sample_rate,
+                    hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
+                )
+            else:
+                vq = jitter_shimmer_llds(
+                    x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
+                    hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
+                    search_range_rel=self.config.jitter_search_range,
+                )
             return np.concatenate(
                 [energy[i, :nt, None], mfcc[i, :nt], zcr[i, :nt, None],
                  f0[i, :nt, None], voicing[i, :nt, None], inten[i, :nt],
@@ -304,9 +324,7 @@ class OpenSmileExtractor:
                 axis=1,
             )
 
-        # period marching is host-side NumPy; fan it across a thread pool
-        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
-            llds = list(pool.map(file_lld, enumerate(items)))
+        llds = [file_lld(it) for it in enumerate(items)]
         frame_bucket = max(bucket_size(len(l)) for l in llds)
         lld_stack = np.zeros((len(llds), frame_bucket, llds[0].shape[1]), np.float32)
         lengths = np.zeros(len(llds), np.int32)

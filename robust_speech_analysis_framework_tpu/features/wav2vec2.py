@@ -107,6 +107,18 @@ class Wav2Vec2Extractor:
         self.mesh = mesh
 
         fwd = lambda p, wav, lengths: self.model.apply(p, wav, lengths=lengths)
+
+        def fwd_pooled(p, wav, lengths):
+            # Masked per-chunk SUM over valid frames + frame count, on
+            # device: the mean-pool path (extract_embeddings) then only
+            # transfers (B, H) + (B,) back instead of (B, T, H) — the
+            # host↔device link is the throughput cap for extraction.
+            hidden, out_lens = self.model.apply(p, wav, lengths=lengths)
+            mask = (
+                jnp.arange(hidden.shape[1])[None, :] < out_lens[:, None]
+            ).astype(hidden.dtype)
+            return jnp.einsum("bth,bt->bh", hidden, mask), out_lens
+
         if mesh is not None:
             # Data-parallel extraction: chunk batches shard over 'dp', the
             # encoder weights shard over 'mp' per the framework rules; XLA
@@ -126,8 +138,14 @@ class Wav2Vec2Extractor:
                 in_shardings=(p_sh, wav_sh, len_sh),
                 out_shardings=(batch_sharding(mesh, ndim=3), len_sh),
             )
+            self._forward_pooled = jax.jit(
+                fwd_pooled,
+                in_shardings=(p_sh, wav_sh, len_sh),
+                out_shardings=(batch_sharding(mesh, ndim=2), len_sh),
+            )
         else:
             self._forward = jax.jit(fwd)
+            self._forward_pooled = jax.jit(fwd_pooled)
 
     @classmethod
     def from_hf_checkpoint(cls, checkpoint_path_or_name: str, **kwargs):
@@ -172,10 +190,39 @@ class Wav2Vec2Extractor:
             return {}
 
         out_per_chunk: List[Optional[np.ndarray]] = [None] * len(chunk_data)
+        for sel, hidden, out_lens in self._run_batches(
+            chunk_data, self._forward
+        ):
+            for j, i in enumerate(sel):
+                out_per_chunk[i] = hidden[j, : out_lens[j]]
+
+        sequences: Dict[str, List[Tuple[int, np.ndarray]]] = {n: [] for n in names}
+        for ref, emb in zip(chunk_refs, out_per_chunk):
+            sequences[names[ref.file_index]].append((ref.order, emb))
+        return {
+            name: np.vstack([e for _, e in sorted(parts, key=lambda p: p[0])])
+            for name, parts in sequences.items()
+            if parts
+        }
+
+    def _run_batches(self, chunk_data, forward, max_inflight: int = 24):
+        """Pipelined batched inference over all chunks.
+
+        Dispatch is async in JAX, so issuing up to ``max_inflight`` batches
+        ahead of the fetch overlaps the host→device upload of batch k+1 and
+        the device compute of batch k with the device→host download of
+        batch k−1 — the three-way overlap that makes extraction
+        bandwidth-bound instead of latency-bound on the tunneled chip.
+        Yields (chunk_indices, host_array_0, host_array_1) per batch in
+        dispatch order.
+        """
+        from ..utils.reliability import retry_transient
+
         bs = self.batch_size
         # Sort by length so full chunks batch together (cheap; one shape).
         order_idx = sorted(range(len(chunk_data)), key=lambda i: -len(chunk_data[i]))
-        for start in range(0, len(order_idx), bs):
+
+        def dispatch(start):
             sel = order_idx[start : start + bs]
             batch = np.zeros((len(sel), self.chunk_size), np.float32)
             lengths = np.zeros(len(sel), np.int32)
@@ -189,37 +236,69 @@ class Wav2Vec2Extractor:
                 batch = np.pad(batch, [(0, bs - len(sel)), (0, 0)])
                 lengths = np.pad(lengths, (0, bs - len(sel)),
                                  constant_values=self.min_samples)
-            from ..utils.reliability import retry_transient
+            out = forward(self.params, jnp.asarray(batch), jnp.asarray(lengths))
+            return sel, start, out
 
-            hidden, out_lens = retry_transient(
-                lambda: self._forward(
-                    self.params, jnp.asarray(batch), jnp.asarray(lengths)
-                )
-            )
-            hidden = np.asarray(hidden)
-            out_lens = np.asarray(out_lens)
-            for j, i in enumerate(sel):
-                out_per_chunk[i] = hidden[j, : out_lens[j]]
-
-        sequences: Dict[str, List[Tuple[int, np.ndarray]]] = {n: [] for n in names}
-        for ref, emb in zip(chunk_refs, out_per_chunk):
-            sequences[names[ref.file_index]].append((ref.order, emb))
-        return {
-            name: np.vstack([e for _, e in sorted(parts, key=lambda p: p[0])])
-            for name, parts in sequences.items()
-            if parts
-        }
+        starts = list(range(0, len(order_idx), bs))
+        inflight = [dispatch(s) for s in starts[:max_inflight]]
+        next_up = max_inflight
+        for _ in range(len(starts)):
+            sel, start, out = inflight.pop(0)
+            try:
+                a, b = jax.device_get(out)
+            except Exception:
+                # transient device failure: re-run this batch synchronously
+                a, b = retry_transient(lambda: jax.device_get(dispatch(start)[2]))
+            if next_up < len(starts):
+                inflight.append(dispatch(starts[next_up]))
+                next_up += 1
+            yield sel, np.asarray(a), np.asarray(b)
 
     def extract_embeddings(
         self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
     ) -> pd.DataFrame:
-        """Mean-pooled summary features: filename + dim_0..dim_{H-1}."""
-        seqs = self.extract_sequences(waveforms, verbose=verbose)
-        if not seqs:
+        """Mean-pooled summary features: filename + dim_0..dim_{H-1}.
+
+        Pooling runs ON DEVICE (per-chunk masked frame sums; only (B, H)
+        transfers back). The per-file mean over summed chunks equals the
+        reference's mean over the overlap-duplicated concatenation
+        (src/foundation_model_extractor.py:158-162) exactly: both average
+        every frame of every chunk, duplicates included.
+        """
+        names: List[str] = []
+        chunk_refs: List[_ChunkRef] = []
+        chunk_data: List[np.ndarray] = []
+        for name, wav in waveforms.items():
+            wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+            if len(wav) < self.min_samples:
+                if verbose:
+                    print(f"INFO: skipping very short input '{name}'.")
+                continue
+            file_index = len(names)
+            names.append(name)
+            for order, c in enumerate(self._chunk(wav)):
+                chunk_refs.append(_ChunkRef(file_index, order, len(c)))
+                chunk_data.append(c)
+        if not names:
             return pd.DataFrame()
+
+        hdim = self.config.hidden_size
+        sums = np.zeros((len(names), hdim), np.float64)
+        counts = np.zeros(len(names), np.int64)
+        for sel, chunk_sums, out_lens in self._run_batches(
+            chunk_data, self._forward_pooled
+        ):
+            for j, i in enumerate(sel):
+                fi = chunk_refs[i].file_index
+                sums[fi] += chunk_sums[j]
+                counts[fi] += int(out_lens[j])
+
         rows = []
-        for name, seq in seqs.items():
-            row = {f"dim_{k}": v for k, v in enumerate(seq.mean(axis=0))}
+        for fi, name in enumerate(names):
+            if counts[fi] == 0:
+                continue
+            mean = sums[fi] / counts[fi]
+            row = {f"dim_{k}": float(v) for k, v in enumerate(mean)}
             row["filename"] = name
             rows.append(row)
         return pd.DataFrame(rows)

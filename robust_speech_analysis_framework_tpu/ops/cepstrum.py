@@ -178,6 +178,7 @@ def cpps_segments_batch(
     keep_above: float = 4.0,
     trend_q_start: float = 0.001,
     buf=None,
+    defer: bool = False,
 ) -> "list[float]":
     """Corpus-batched per-voiced-segment CPPS (reference behavior,
     src/mshds_extractor.py:277-298): every voiced segment of every file is
@@ -236,30 +237,37 @@ def cpps_segments_batch(
             start_blocks.append(starts + sa + file_offset)
             seg_meta.append((fi, n_frames))
 
+    from .framing import Deferred
+
+    n_items = len(items)
     if not start_blocks:
-        return [float("nan")] * len(items)
+        empty = [float("nan")] * n_items
+        return Deferred.ready(empty) if defer else empty
 
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
-    prom = np.asarray(
-        _gathered_cpps_prominence(
-            x_cat, jnp.asarray(starts_padded[:, 0]),
-            jnp.asarray(window, jnp.float32),
-            win_len, n_fft, dq, trend_lo, trend_hi, band_lo, band_hi,
-        )
-    ).astype(np.float64)
+    prom_dev = _gathered_cpps_prominence(
+        x_cat, jnp.asarray(starts_padded[:, 0]),
+        jnp.asarray(window, jnp.float32),
+        win_len, n_fft, dq, trend_lo, trend_hi, band_lo, band_hi,
+    )
 
-    per_file: "list[list[float]]" = [[] for _ in items]
-    cursor = 0
-    for fi, n_frames in seg_meta:
-        seg_mean = float(np.mean(prom[cursor : cursor + n_frames]))
-        cursor += n_frames
-        if np.isfinite(seg_mean) and seg_mean > keep_above:
-            per_file[fi].append(seg_mean)
-    return [
-        float(np.mean(vals)) if vals else float("nan") for vals in per_file
-    ]
+    def _finalize(prom):
+        prom = np.asarray(prom).astype(np.float64)
+        per_file: "list[list[float]]" = [[] for _ in range(n_items)]
+        cursor = 0
+        for fi, n_frames in seg_meta:
+            seg_mean = float(np.mean(prom[cursor : cursor + n_frames]))
+            cursor += n_frames
+            if np.isfinite(seg_mean) and seg_mean > keep_above:
+                per_file[fi].append(seg_mean)
+        return [
+            float(np.mean(vals)) if vals else float("nan") for vals in per_file
+        ]
+
+    d = Deferred(prom_dev, _finalize)
+    return d if defer else d.result()
 
 
 def _robust_line_fit(

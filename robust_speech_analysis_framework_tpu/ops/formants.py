@@ -235,6 +235,7 @@ def formant_track_burg_batch(
     preemphasis_from: float = 50.0,
     preprocessed: bool = False,
     buf=None,
+    defer: bool = False,
 ) -> "list[FormantTrack]":
     """Corpus-batched :func:`formant_track_burg`: every file's analysis
     frames go through ONE Burg + root-finding device program (same
@@ -296,35 +297,42 @@ def formant_track_burg_batch(
         )
         start_blocks.append(starts + base)
 
+    from .framing import Deferred
+
     n_keep = int(max_formants)
     if not start_blocks:
-        return [
+        empty = [
             FormantTrack(m[1], np.full((max(m[0], 0), n_keep), np.nan),
                          np.full((max(m[0], 0), n_keep), np.nan))
             for m in metas
         ]
+        return Deferred.ready(empty) if defer else empty
 
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
-    roots = np.asarray(
-        _gathered_burg_roots(
-            x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(window, jnp.float32),
-            win_len, int(2 * max_formants),
-        )
+    roots_dev = _gathered_burg_roots(
+        x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(window, jnp.float32),
+        win_len, int(2 * max_formants),
     )
 
-    out = []
-    cursor = 0
-    for n_frames, centers in metas:
-        if n_frames < 1:
-            out.append(FormantTrack(
-                centers, np.full((0, n_keep), np.nan), np.full((0, n_keep), np.nan)
-            ))
-            continue
-        re = roots[0, cursor : cursor + n_frames]
-        im = roots[1, cursor : cursor + n_frames]
-        cursor += n_frames
-        f, b = _roots_to_formants(re, im, sr, max_formant_hz, n_keep)
-        out.append(FormantTrack(centers, f, b))
-    return out
+    def _finalize(roots):
+        roots = np.asarray(roots)
+        out = []
+        cursor = 0
+        for n_frames, centers in metas:
+            if n_frames < 1:
+                out.append(FormantTrack(
+                    centers, np.full((0, n_keep), np.nan),
+                    np.full((0, n_keep), np.nan)
+                ))
+                continue
+            re = roots[0, cursor : cursor + n_frames]
+            im = roots[1, cursor : cursor + n_frames]
+            cursor += n_frames
+            f, b = _roots_to_formants(re, im, sr, max_formant_hz, n_keep)
+            out.append(FormantTrack(centers, f, b))
+        return out
+
+    d = Deferred(roots_dev, _finalize)
+    return d if defer else d.result()

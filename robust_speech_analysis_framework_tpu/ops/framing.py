@@ -15,11 +15,47 @@ used everywhere.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import Any, Callable, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class Deferred:
+    """A dispatched-but-unfetched batched analysis.
+
+    The tunnel to the chip has a high fixed round-trip cost (~100 ms
+    observed), so synchronously downloading each stage's result serializes
+    the pipeline on latency. Ops that accept ``defer=True`` return one of
+    these instead: ``arrays`` holds the still-on-device outputs (dispatch is
+    async, so the program is already queued) and ``finalize`` turns their
+    host copies into the op's normal return value. :func:`collect` fetches
+    a whole level of independent stages with overlapped transfers — one
+    round-trip cost for N stages instead of N.
+    """
+
+    __slots__ = ("arrays", "finalize")
+
+    def __init__(self, arrays: Any, finalize: "Callable[[Any], Any]"):
+        self.arrays = arrays
+        self.finalize = finalize
+
+    def result(self):
+        return self.finalize(jax.device_get(self.arrays))
+
+    @staticmethod
+    def ready(value) -> "Deferred":
+        """A Deferred wrapping an already-final value (empty-input paths)."""
+        return Deferred((), lambda _: value)
+
+
+def collect(deferreds: "List[Deferred]") -> "List[Any]":
+    """Fetch every Deferred's device arrays in one overlapped transfer, then
+    run each finalizer. jax.device_get starts all copies before blocking on
+    any, so total latency ≈ the largest transfer, not the sum."""
+    host = jax.device_get([d.arrays for d in deferreds])
+    return [d.finalize(h) for d, h in zip(deferreds, host)]
 
 
 def gather_frames(x_cat: jnp.ndarray, starts: jnp.ndarray, win_len: int):

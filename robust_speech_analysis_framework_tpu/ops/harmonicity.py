@@ -140,12 +140,15 @@ def harmonicity_cc_batch(
     periods_per_window: float = 4.5,
     buf=None,
     indices=None,
+    defer: bool = False,
 ) -> "list[HarmonicityContour]":
     """Batched :func:`harmonicity_cc` (device-gathered frames, one core call
     over every file's frames — same design as ops.pitch.pitch_track_batch).
     The band-peak → HNR math runs on device (:func:`_gathered_hnr`) so only
-    (N_total,) floats transfer back."""
+    (N_total,) floats transfer back. ``defer=True`` →
+    ``ops.framing.Deferred``."""
     from .bucketing import pad_frames
+    from .framing import Deferred
 
     window_s = periods_per_window / minimum_pitch
     win_len = int(round(window_s * sr))
@@ -184,26 +187,32 @@ def harmonicity_cc_batch(
         gp_blocks.append(np.full(n_frames, gp, np.float32))
 
     if not start_blocks:
-        return [HarmonicityContour(m[1], np.zeros(m[0])) for m in metas]
+        empty = [HarmonicityContour(m[1], np.zeros(m[0])) for m in metas]
+        return Deferred.ready(empty) if defer else empty
 
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
     gp_padded, _ = pad_frames(np.concatenate(gp_blocks)[:, None])
     lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))
-    hnr_all = np.asarray(
-        _gathered_hnr(
-            x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(gp_padded[:, 0]),
-            ext, win_len, max_lag, lag_min, float(silence_threshold),
-        )
-    ).astype(np.float64)
+    hnr_dev = _gathered_hnr(
+        x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(gp_padded[:, 0]),
+        ext, win_len, max_lag, lag_min, float(silence_threshold),
+    )
 
-    out = []
-    cursor = 0
-    for n_frames, centers in metas:
-        if n_frames < 1:
-            out.append(HarmonicityContour(centers, np.zeros(0)))
-            continue
-        out.append(HarmonicityContour(centers, hnr_all[cursor : cursor + n_frames]))
-        cursor += n_frames
-    return out
+    def _finalize(hnr_all):
+        hnr_all = np.asarray(hnr_all).astype(np.float64)
+        out = []
+        cursor = 0
+        for n_frames, centers in metas:
+            if n_frames < 1:
+                out.append(HarmonicityContour(centers, np.zeros(0)))
+                continue
+            out.append(
+                HarmonicityContour(centers, hnr_all[cursor : cursor + n_frames])
+            )
+            cursor += n_frames
+        return out
+
+    d = Deferred(hnr_dev, _finalize)
+    return d if defer else d.result()

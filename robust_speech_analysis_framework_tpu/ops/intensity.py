@@ -145,6 +145,7 @@ def intensity_contour_batch(
     subtract_mean: bool = True,
     buf=None,
     indices=None,
+    defer: bool = False,
 ) -> "list[IntensityContour]":
     """Batched :func:`intensity_contour` over many waveforms.
 
@@ -152,8 +153,11 @@ def intensity_contour_batch(
     uploaded concatenated and framed on device (same design as
     ops.pitch.pitch_track_batch), or gathered from an already-uploaded
     ``ops.framing.CorpusBuffer``. Bit-equivalent to the per-file path.
+    With ``defer=True`` returns an ``ops.framing.Deferred`` (fetch via
+    ``.result()`` or ``framing.collect``).
     """
     from .bucketing import pad_frames
+    from .framing import Deferred
     from .pitch import praat_frame_grid
 
     window_s = 6.4 / minimum_pitch
@@ -191,24 +195,29 @@ def intensity_contour_batch(
         start_blocks.append(starts + base)
 
     if not start_blocks:
-        return [IntensityContour(m[1], np.zeros(m[0])) for m in metas]
+        empty = [IntensityContour(m[1], np.zeros(m[0])) for m in metas]
+        return Deferred.ready(empty) if defer else empty
 
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
-    power = np.asarray(
-        _gathered_frame_power(
-            x_cat, jnp.asarray(starts_padded[:, 0]), window, win_len, subtract_mean
-        )
+    power_dev = _gathered_frame_power(
+        x_cat, jnp.asarray(starts_padded[:, 0]), window, win_len, subtract_mean
     )
-    out = []
-    cursor = 0
-    for n_frames, centers in metas:
-        if n_frames < 1:
-            out.append(IntensityContour(centers, np.zeros(0)))
-            continue
-        p = power[cursor : cursor + n_frames]
-        cursor += n_frames
-        db = 10.0 * np.log10(np.maximum(p, 1e-30) / _REF_POWER)
-        out.append(IntensityContour(centers, db))
-    return out
+
+    def _finalize(power):
+        power = np.asarray(power)
+        out = []
+        cursor = 0
+        for n_frames, centers in metas:
+            if n_frames < 1:
+                out.append(IntensityContour(centers, np.zeros(0)))
+                continue
+            p = power[cursor : cursor + n_frames]
+            cursor += n_frames
+            db = 10.0 * np.log10(np.maximum(p, 1e-30) / _REF_POWER)
+            out.append(IntensityContour(centers, db))
+        return out
+
+    d = Deferred(power_dev, _finalize)
+    return d if defer else d.result()

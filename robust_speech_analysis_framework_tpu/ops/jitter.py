@@ -13,14 +13,21 @@ cross-correlation of adjacent candidate periods within ±searchRangeRel
   waveform correlation ρ of adjacent periods: ln(ρ/(1−ρ)).
 
 Unvoiced frames emit 0 (``onlyVoiced=0`` keeps them in the output stream).
-Period marching is sequential by nature and runs host-side in NumPy; the
-arrays it consumes (F0 contour) come from the batched SHS chain.
+Period marching is sequential through the waveform, but only through the
+scalar ``pos`` cursor — so the TPU path (:func:`mark_periods_batch`) runs
+it as ONE vmapped ``lax.while_loop`` over every file of a corpus bucket
+(fixed-size masked windows stand in for the host version's variable-length
+slices), while :func:`mark_periods` remains the NumPy reference/oracle.
 """
 
 from __future__ import annotations
 
+import math
+from functools import partial
 from typing import List, NamedTuple, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -52,7 +59,8 @@ def mark_periods(
     corrs: List[float] = []
 
     n_frames = len(f0_frames)
-    frame_of = lambda s: int(s / sr / hop_s)
+    hop_samples = max(int(round(hop_s * sr)), 1)
+    frame_of = lambda s: s // hop_samples
 
     pos = 0
     n = len(x)
@@ -96,16 +104,152 @@ def mark_periods(
     )
 
 
-def jitter_shimmer_llds(
-    x: np.ndarray,
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _march_periods_device(
+    stack,  # (B, N) f32 waveforms, zero-padded
+    f0_pad,  # (B, T) f32 frame-level F0, 0 = unvoiced
+    ns,  # (B,) per-file true sample counts
+    n_frames,  # (B,) per-file true frame counts
     sr: float,
+    hop_samples: int,
+    srr: float,
+    f0_min: float,
+    p_max: int,
+):
+    """One vmapped ``lax.while_loop`` marching pitch periods through every
+    file of a bucket simultaneously (cf. host :func:`mark_periods`).
+
+    Sequentiality is only through each file's ``pos`` cursor, so the batch
+    runs in lockstep until every lane finishes. Variable-length host slices
+    become fixed-size gathered windows with masks; the lag search is a
+    single 1-D convolution per step (corr and per-lag energy), so no
+    per-element gathers. Emits padded (starts, lengths, amps, corrs,
+    count) per file.
+    """
+    B, N = stack.shape
+    t0_max = sr / f0_min
+    W0 = int(round(t0_max)) + 1  # max template length
+    HI = int(t0_max * (1 + srr)) + 2  # max period search upper bound
+    GW = HI + W0 + 8  # gathered window covers template + search band
+    xpad = jnp.pad(stack, ((0, 0), (0, GW)))
+    ns_a = ns.astype(jnp.int32)
+    nf_a = n_frames.astype(jnp.int32)
+
+    def one_file(x, f0, n, nf):
+        def cond(state):
+            pos, k, broken, _ = state
+            return (pos < n - 16) & (~broken) & (k < p_max)
+
+        def body(state):
+            pos, k, broken, bufs = state
+            starts, lengths, amps, corrs = bufs
+            fi = jnp.minimum(pos // hop_samples, nf - 1)
+            f0v = f0[fi]
+            voiced = f0v > 0
+            t0 = sr / jnp.maximum(f0v, f0_min)
+            lo = jnp.maximum((t0 * (1 - srr)).astype(jnp.int32), 8)
+            hi = (t0 * (1 + srr)).astype(jnp.int32) + 1
+            w0 = jnp.round(t0).astype(jnp.int32)
+            fits = pos + hi * 2 < n
+
+            g = jax.lax.dynamic_slice(x, (pos,), (GW,))
+            ar = jnp.arange(GW)
+            tmpl_mask = jnp.arange(W0) < w0
+            aw = jnp.where(tmpl_mask, g[:W0], 0.0)
+            # correlation + per-lag energy as 1-D convs over the window
+            corr_full = jnp.convolve(g, aw[::-1], mode="valid")  # (GW-W0+1,)
+            e_full = jnp.convolve(
+                g * g, tmpl_mask[::-1].astype(g.dtype), mode="valid"
+            )
+            nlag = hi - lo + 1
+            lag_ids = jnp.arange(GW - W0 + 1)
+            e_a = jnp.sum(aw * aw)
+            denom = jnp.sqrt(jnp.maximum(e_a * e_full, 1e-30))
+            ncc = jnp.where(denom > 0, corr_full / denom, -2.0)
+            valid = (lag_ids >= lo) & (lag_ids < lo + nlag)
+            ncc = jnp.where(valid, ncc, -jnp.inf)
+            j = jnp.argmax(ncc)
+            best_corr = ncc[j]
+            best_len = j  # lag_ids are absolute lags already
+            amp = jnp.max(jnp.where(ar < best_len, jnp.abs(g), 0.0))
+
+            emit = voiced & fits
+            starts = starts.at[k].set(jnp.where(emit, pos, starts[k]))
+            lengths = lengths.at[k].set(jnp.where(emit, best_len, lengths[k]))
+            amps = amps.at[k].set(jnp.where(emit, amp, amps[k]))
+            corrs = corrs.at[k].set(jnp.where(emit, best_corr, corrs[k]))
+            k = k + emit.astype(jnp.int32)
+            skip = jnp.maximum(hop_samples // 2, 1)
+            pos = jnp.where(emit, pos + best_len, pos + skip)
+            broken = voiced & (~fits)
+            return pos, k, broken, (starts, lengths, amps, corrs)
+
+        bufs0 = (
+            jnp.zeros(p_max, jnp.int32),
+            jnp.zeros(p_max, jnp.int32),
+            jnp.zeros(p_max, jnp.float32),
+            jnp.zeros(p_max, jnp.float32),
+        )
+        pos, k, _, bufs = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False), bufs0)
+        )
+        return (*bufs, k)
+
+    return jax.vmap(one_file)(xpad, f0_pad, ns_a, nf_a)
+
+
+def mark_periods_batch(
+    stack: np.ndarray,
+    sr: float,
+    f0_pad: np.ndarray,
+    ns,
+    n_frames,
+    hop_s: float = 0.010,
+    search_range_rel: float = 0.25,
+    f0_min: float = 40.0,
+) -> "List[PeriodTrack]":
+    """Batched device period marching over a bucket of files.
+
+    ``stack`` (B, N) zero-padded waveforms; ``f0_pad`` (B, T) padded F0
+    contours; ``ns``/``n_frames`` true per-file sample/frame counts.
+    Matches :func:`mark_periods` up to float32-vs-float64 lag-argmax ties.
+    """
+    B, N = stack.shape
+    hop_samples = max(int(round(hop_s * sr)), 1)
+    p_max = max(N // 16, 4)
+    starts, lengths, amps, corrs, counts = jax.device_get(
+        _march_periods_device(
+            jnp.asarray(stack, jnp.float32),
+            jnp.asarray(f0_pad, jnp.float32),
+            jnp.asarray(np.asarray(ns, np.int32)),
+            jnp.asarray(np.asarray(n_frames, np.int32)),
+            float(sr), hop_samples, float(search_range_rel), float(f0_min),
+            p_max,
+        )
+    )
+    out = []
+    for i in range(B):
+        k = int(counts[i])
+        out.append(PeriodTrack(
+            starts[i, :k].astype(np.int64),
+            lengths[i, :k].astype(np.int64),
+            amps[i, :k].astype(np.float64),
+            corrs[i, :k].astype(np.float64),
+        ))
+    return out
+
+
+def periods_to_llds(
+    periods: PeriodTrack,
     f0_frames: np.ndarray,
+    sr: float,
     hop_s: float = 0.010,
     frame_s: float = 0.025,
-    search_range_rel: float = 0.25,
 ) -> np.ndarray:
-    """Frame-level [jitterLocal, jitterDDP, shimmerLocal, logHNR] (T, 4)."""
-    periods = mark_periods(x, sr, f0_frames, hop_s, search_range_rel)
+    """Period track → frame-level [jitterLocal, jitterDDP, shimmerLocal,
+    logHNR] (T, 4). Vectorized over frames: period centers are sorted, so
+    each frame's member periods are a contiguous [i0, i1] range found by
+    searchsorted, and every per-range mean comes from prefix sums."""
     n_frames = len(f0_frames)
     out = np.zeros((n_frames, 4))
     if len(periods.starts) < 3:
@@ -119,23 +263,58 @@ def jitter_shimmer_llds(
     dA = np.abs(np.diff(A))
     rho = np.clip(periods.correlations, 0.0, 0.999999)
 
-    frame_len = frame_s
-    for t_idx in range(n_frames):
-        t_c = t_idx * hop_s + frame_len / 2
-        in_frame = np.abs(centers - t_c) <= frame_len / 2
-        idx = np.flatnonzero(in_frame)
-        if len(idx) < 2 or f0_frames[t_idx] <= 0:
-            continue
-        mean_t = T[idx].mean()
-        mean_a = max(A[idx].mean(), 1e-12)
-        i0, i1 = int(idx[0]), int(idx[-1])
-        # consecutive-period differences wholly inside the frame
-        if i1 > i0 and mean_t > 0:
-            out[t_idx, 0] = dT[i0:i1].mean() / mean_t
-            out[t_idx, 2] = dA[i0:i1].mean() / mean_a
-        if i1 - 1 > i0 and mean_t > 0:
-            out[t_idx, 1] = ddT[i0 : i1 - 1].mean() / mean_t
-        r = float(np.mean(rho[idx]))
-        if r > 0:
-            out[t_idx, 3] = np.log(r / max(1.0 - r, 1e-9))
-    return out
+    half = frame_s / 2
+    t_c = np.arange(n_frames) * hop_s + half
+    i0 = np.searchsorted(centers, t_c - half, side="left")
+    i1 = np.searchsorted(centers, t_c + half, side="right") - 1
+    count = i1 - i0 + 1
+    ok = (count >= 2) & (np.asarray(f0_frames[:n_frames]) > 0)
+    i0c = np.clip(i0, 0, len(T) - 1)
+    i1c = np.clip(i1, 0, len(T) - 1)
+
+    def _cum(v):
+        return np.concatenate([[0.0], np.cumsum(v)])
+
+    cT, cA, cR = _cum(T), _cum(A), _cum(rho)
+    cdT, cddT, cdA = _cum(dT), _cum(ddT), _cum(dA)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_t = (cT[i1c + 1] - cT[i0c]) / count
+        mean_a = np.maximum((cA[i1c + 1] - cA[i0c]) / count, 1e-12)
+        n_d = i1c - i0c
+        has_d = ok & (n_d > 0) & (mean_t > 0)
+        j0 = np.minimum(i0c, len(cdT) - 1)
+        j1 = np.minimum(i1c, len(cdT) - 1)
+        out[:, 0] = np.where(
+            has_d, (cdT[j1] - cdT[j0]) / np.maximum(n_d, 1) / mean_t, 0.0
+        )
+        out[:, 2] = np.where(
+            has_d, (cdA[j1] - cdA[j0]) / np.maximum(n_d, 1) / mean_a, 0.0
+        )
+        n_dd = i1c - 1 - i0c
+        has_dd = ok & (n_dd > 0) & (mean_t > 0)
+        k0 = np.minimum(i0c, len(cddT) - 1)
+        k1 = np.clip(i1c - 1, 0, len(cddT) - 1)
+        out[:, 1] = np.where(
+            has_dd,
+            (cddT[k1] - cddT[k0]) / np.maximum(n_dd, 1) / mean_t,
+            0.0,
+        )
+        r = (cR[i1c + 1] - cR[i0c]) / count
+        out[:, 3] = np.where(
+            ok & (r > 0), np.log(r / np.maximum(1.0 - r, 1e-9)), 0.0
+        )
+    out[~ok] = 0.0
+    return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def jitter_shimmer_llds(
+    x: np.ndarray,
+    sr: float,
+    f0_frames: np.ndarray,
+    hop_s: float = 0.010,
+    frame_s: float = 0.025,
+    search_range_rel: float = 0.25,
+) -> np.ndarray:
+    """Frame-level [jitterLocal, jitterDDP, shimmerLocal, logHNR] (T, 4)."""
+    periods = mark_periods(x, sr, f0_frames, hop_s, search_range_rel)
+    return periods_to_llds(periods, f0_frames, sr, hop_s, frame_s)

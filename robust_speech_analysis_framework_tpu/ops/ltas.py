@@ -101,6 +101,7 @@ def ltas_pitch_corrected_batch(
     longest_period: float = 0.02,
     max_period_factor: float = 1.3,
     buf=None,
+    defer: bool = False,
 ) -> "list[Ltas]":
     """Vectorized pitch-corrected LTAS over many files at once.
 
@@ -143,6 +144,7 @@ def ltas_pitch_corrected_batch(
 
     accum = np.zeros((len(xs), n_bins))
     counts = np.zeros(len(xs), int)
+    device_parts = []  # per-group device accumulators; summed + synced ONCE
     if file_ids:
         file_ids = np.concatenate(file_ids)
         seg_a = np.concatenate(seg_a)
@@ -168,7 +170,11 @@ def ltas_pitch_corrected_batch(
                 lens_p[n_real:] = 0  # padded rows contribute zero spectra
                 bin_mat = np.zeros((len(f_bins), n_bins), np.float32)
                 bin_mat[np.arange(len(f_bins)), bin_idx] = 1.0
-                accum += np.asarray(_ltas_group_device(
+                # Dispatch is async: every group's program is enqueued
+                # without waiting; the single np.asarray below pays ONE
+                # tunnel round trip for the whole LTAS stage instead of one
+                # per FFT-size group.
+                device_parts.append(_ltas_group_device(
                     buf.x_cat, jnp.asarray(starts_p[:, 0]),
                     jnp.asarray(lens_p[:, 0]), jnp.asarray(fids_p[:, 0]),
                     jnp.asarray(bin_mat), l_max, int(n_fft), len(xs),
@@ -191,11 +197,27 @@ def ltas_pitch_corrected_batch(
             flat_idx = (fids[:, None] * n_bins + bin_idx[None, :]).ravel()
             np.add.at(accum.ravel(), flat_idx, spec.ravel())
 
-    out = []
-    for fi in range(len(xs)):
-        if counts[fi] == 0:
-            out.append(Ltas(freqs_out, np.full(n_bins, np.nan)))
-            continue
-        power_db = 10.0 * np.log10(np.maximum(accum[fi] / counts[fi], 1e-30))
-        out.append(Ltas(freqs_out, power_db))
-    return out
+    from .framing import Deferred
+
+    n_files_out = len(xs)
+    total = None
+    if device_parts:
+        total = device_parts[0]
+        for p in device_parts[1:]:
+            total = total + p
+
+    def _finalize(total_host):
+        acc = accum
+        if total_host is not None:
+            acc = acc + np.asarray(total_host, dtype=np.float64)
+        out = []
+        for fi in range(n_files_out):
+            if counts[fi] == 0:
+                out.append(Ltas(freqs_out, np.full(n_bins, np.nan)))
+                continue
+            power_db = 10.0 * np.log10(np.maximum(acc[fi] / counts[fi], 1e-30))
+            out.append(Ltas(freqs_out, power_db))
+        return out
+
+    d = Deferred(total, _finalize)
+    return d if defer else d.result()

@@ -141,6 +141,7 @@ def voiced_mean_moments_batch(
     time_step: float = 0.005,
     buf=None,
     indices=None,
+    defer: bool = False,
 ) -> "list[Tuple[float, float, float, float]]":
     """Corpus-batched :func:`voiced_mean_moments`: all files' spectrogram
     frames go through one device program computing per-frame moments (in
@@ -187,34 +188,45 @@ def voiced_mean_moments_batch(
         )
         start_blocks.append(starts + base)
 
+    from .framing import Deferred
+
     if not start_blocks:
-        return [(float("nan"),) * 4 for _ in metas]
+        empty = [(float("nan"),) * 4 for _ in metas]
+        return Deferred.ready(empty) if defer else empty
 
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
-    m = np.asarray(
-        _gathered_frame_moments(
-            x_cat, jnp.asarray(starts_padded[:, 0]),
-            jnp.asarray(window, jnp.float32), win_len, n_fft,
-        )
-    ).astype(np.float64)
-    # bin units → Hz (gravity/std scale by df; skew/kurt are scale-free)
-    m[:, 0] *= df
-    m[:, 1] *= df
+    m_dev = _gathered_frame_moments(
+        x_cat, jnp.asarray(starts_padded[:, 0]),
+        jnp.asarray(window, jnp.float32), win_len, n_fft,
+    )
 
-    out = []
-    cursor = 0
-    for (n_frames, centers), voiced_at in zip(metas, voiced_fns):
-        if n_frames < 1:
-            out.append((float("nan"),) * 4)
-            continue
-        mm = m[cursor : cursor + n_frames]
-        cursor += n_frames
-        voiced = np.asarray(voiced_at(centers), dtype=bool)
-        vals = []
-        for c in range(4):
-            v = mm[voiced & np.isfinite(mm[:, c]), c]
-            vals.append(float(v.mean()) if v.size else float("nan"))
-        out.append(tuple(vals))
-    return out
+    def _finalize(m):
+        # Late binding: voiced_fns may be a zero-arg callable producing the
+        # per-file voiced predicates, so the device program can be
+        # dispatched BEFORE the pitch tracks that define voicing are
+        # finalized (the voiced mask is host-side finalize work only).
+        fns = voiced_fns() if callable(voiced_fns) else voiced_fns
+        m = np.asarray(m).astype(np.float64)
+        # bin units → Hz (gravity/std scale by df; skew/kurt are scale-free)
+        m[:, 0] *= df
+        m[:, 1] *= df
+        out = []
+        cursor = 0
+        for (n_frames, centers), voiced_at in zip(metas, fns):
+            if n_frames < 1:
+                out.append((float("nan"),) * 4)
+                continue
+            mm = m[cursor : cursor + n_frames]
+            cursor += n_frames
+            voiced = np.asarray(voiced_at(centers), dtype=bool)
+            vals = []
+            for c in range(4):
+                v = mm[voiced & np.isfinite(mm[:, c]), c]
+                vals.append(float(v.mean()) if v.size else float("nan"))
+            out.append(tuple(vals))
+        return out
+
+    d = Deferred(m_dev, _finalize)
+    return d if defer else d.result()

@@ -186,3 +186,43 @@ def test_reference_compat_911_schema():
         full.iloc[0][cols911].to_numpy(float),
         rtol=1e-6,
     )
+
+
+def test_device_period_marching_matches_numpy_oracle():
+    """ops.jitter.mark_periods_batch (vmapped while_loop) vs the NumPy
+    marching oracle: same period boundaries on clean voiced audio."""
+    from robust_speech_analysis_framework_tpu.ops.jitter import (
+        mark_periods,
+        mark_periods_batch,
+        periods_to_llds,
+    )
+
+    waves = [_voiced_pulsed(1.0 + 0.2 * i, 110 + 15 * i) for i in range(3)]
+    hop_s = 0.010
+    f0s, ns, nf = [], [], []
+    bucket = max(len(x) for x in waves)
+    stack = np.zeros((len(waves), bucket), np.float32)
+    for i, x in enumerate(waves):
+        n_frames = len(x) // int(SR * hop_s)
+        f0s.append(np.full(n_frames, 110.0 + 15 * i))
+        ns.append(len(x))
+        nf.append(n_frames)
+        stack[i, : len(x)] = x
+    t_pad = max(nf)
+    f0_pad = np.zeros((len(waves), t_pad), np.float32)
+    for i, f in enumerate(f0s):
+        f0_pad[i, : len(f)] = f
+
+    got = mark_periods_batch(stack, SR, f0_pad, ns, nf, hop_s=hop_s)
+    for i, x in enumerate(waves):
+        ref = mark_periods(x.astype(np.float64), SR, f0s[i], hop_s=hop_s)
+        # identical marching up to f32-vs-f64 correlation argmax ties:
+        # demand exact agreement on ≥97% of boundaries and tight LLDs
+        n = min(len(ref.starts), len(got[i].starts))
+        assert n > 10
+        same = np.mean(ref.starts[:n] == got[i].starts[:n])
+        assert same > 0.97, f"file {i}: only {same:.2%} boundaries agree"
+        lld_ref = periods_to_llds(ref, f0s[i], SR, hop_s=hop_s)
+        lld_got = periods_to_llds(got[i], f0s[i], SR, hop_s=hop_s)
+        rel = np.abs(lld_got - lld_ref) / np.maximum(np.abs(lld_ref), 1e-3)
+        assert np.nanmean(rel) < 5e-3
