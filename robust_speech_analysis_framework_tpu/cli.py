@@ -107,6 +107,18 @@ def _cmd_predict(args) -> int:
     return 0
 
 
+def _cmd_reproduce(args) -> int:
+    from .eval.reproduce import run_reproduction
+
+    comparison = run_reproduction(
+        args.corpus, args.processed,
+        wav2vec2_checkpoint=args.wav2vec2_checkpoint,
+        out_path=args.out, verbose=not args.quiet,
+    )
+    n_off = int((~comparison["within_noise"] & ~comparison["missing"]).sum())
+    return 1 if n_off else 0
+
+
 def _cmd_bench(args) -> int:
     import runpy
     import os
@@ -174,6 +186,18 @@ def main(argv=None) -> int:
                    help="load a reference torch .pt checkpoint")
     p.add_argument("--wav2vec2-checkpoint", default=None)
     p.set_defaults(fn=_cmd_predict)
+
+    p = sub.add_parser(
+        "reproduce",
+        help="run the full 24-experiment battery and diff every metric "
+             "against the reference's published tables (BASELINE.md §6)",
+    )
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--processed", required=True)
+    p.add_argument("--wav2vec2-checkpoint", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=_cmd_reproduce)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=_cmd_bench)
