@@ -59,10 +59,80 @@ def collect(deferreds: "List[Deferred]") -> "List[Any]":
 
 
 def gather_frames(x_cat: jnp.ndarray, starts: jnp.ndarray, win_len: int):
-    """(N,) start indices → (N, win_len) frames via contiguous slice copies."""
+    """(N,) start indices → (N, win_len) frames gathered on device.
+
+    On TPU this runs as a Pallas DMA kernel: XLA lowers the vmapped
+    dynamic-slice to an elementwise gather (~1.4 GB/s effective through
+    HBM, measured), while one contiguous win_len-sample DMA per frame
+    approaches memory bandwidth. Other backends keep the dynamic-slice
+    vmap.
+    """
+    if jax.default_backend() == "tpu":
+        return _gather_frames_pallas(x_cat, starts, win_len)
+    return _gather_frames_xla(x_cat, starts, win_len)
+
+
+def _gather_frames_xla(x_cat: jnp.ndarray, starts: jnp.ndarray, win_len: int):
     return jax.vmap(
         lambda s: jax.lax.dynamic_slice(x_cat, (s,), (win_len,))
     )(starts)
+
+
+_GATHER_BF = 16  # frames per grid step (one DMA in flight per row)
+
+
+def _gather_kernel(starts_ref, x_ref, out_ref, sems):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    w = out_ref.shape[1]
+
+    def dma(j):
+        s = starts_ref[i * _GATHER_BF + j]
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(s, w)], out_ref.at[j], sems.at[j]
+        )
+
+    for j in range(_GATHER_BF):  # start all row DMAs, then drain
+        dma(j).start()
+    for j in range(_GATHER_BF):
+        dma(j).wait()
+
+
+def _gather_frames_pallas(
+    x_cat: jnp.ndarray, starts: jnp.ndarray, win_len: int,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = starts.shape[0]
+    w_pad = -(-win_len // 128) * 128  # lane-aligned rows
+    n_pad = -(-n // _GATHER_BF) * _GATHER_BF
+    # every DMA must stay inside the buffer: tail room + clipped starts
+    x_ext = jnp.pad(x_cat, (0, w_pad))
+    starts_p = jnp.clip(
+        jnp.pad(starts, (0, n_pad - n)), 0, x_cat.shape[0]
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // _GATHER_BF,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # x stays in HBM
+        out_specs=pl.BlockSpec(
+            (_GATHER_BF, w_pad), lambda i, starts: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_GATHER_BF,))],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, w_pad), x_cat.dtype),
+        interpret=interpret,
+    )(starts_p, x_ext)
+    return out[:n, :win_len]
 
 
 class CorpusBuffer(NamedTuple):

@@ -161,13 +161,17 @@ class Trainer:
         from ..data.batching import pad_batch, length_sorted_batches
 
         logits_out = np.zeros((len(sequences), self.model.num_classes), np.float32)
+        pending = []  # dispatch all batches, fetch once (one device sync)
         for idx in length_sorted_batches(sequences, cfg.batch_size):
             batch, lengths = pad_batch(
                 [sequences[i] for i in idx], min_bucket=cfg.min_bucket
             )
-            logits = self._eval_step(
-                state, jnp.asarray(batch), jnp.asarray(lengths), cfg.use_length_masking
-            )
+            pending.append((idx, self._eval_step(
+                state, jnp.asarray(batch), jnp.asarray(lengths),
+                cfg.use_length_masking,
+            )))
+        fetched = jax.device_get([p for _, p in pending])
+        for (idx, _), logits in zip(pending, fetched):
             logits_out[idx] = np.asarray(logits)
         return logits_out
 
@@ -177,18 +181,17 @@ def _mean_val_loss(trainer, state, sequences, labels, cfg) -> float:
     reference's ``val_loss / len(val_loader)`` at src/dl_cv_strategies.py:141)."""
     from ..data.batching import batch_iterator
 
-    losses = []
+    losses = []  # device scalars; ONE fetch for the whole pass
     for batch, lengths, labs in batch_iterator(
         sequences, labels, cfg.batch_size, shuffle=False, min_bucket=cfg.min_bucket
     ):
         logits = trainer._eval_step(
             state, jnp.asarray(batch), jnp.asarray(lengths), cfg.use_length_masking
         )
-        loss = optax.softmax_cross_entropy_with_integer_labels(
+        losses.append(optax.softmax_cross_entropy_with_integer_labels(
             jnp.asarray(logits), jnp.asarray(labs)
-        ).mean()
-        losses.append(float(loss))
-    return float(np.mean(losses))
+        ).mean())
+    return float(np.mean(jax.device_get(losses)))
 
 
 def train_model(
@@ -243,8 +246,10 @@ def train_model(
                 step_rng,
                 cfg.use_length_masking,
             )
-            epoch_losses.append(float(loss))
-        train_hist.append(float(np.mean(epoch_losses)))
+            # keep losses on device: one fetch per EPOCH, not per batch —
+            # per-step float() syncs dominate wall time on the tunneled chip
+            epoch_losses.append(loss)
+        train_hist.append(float(np.mean(jax.device_get(epoch_losses))))
 
         val_loss = _mean_val_loss(trainer, state, val_sequences, val_labels, cfg)
         val_hist.append(val_loss)

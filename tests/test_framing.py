@@ -1,0 +1,54 @@
+"""ops.framing: corpus buffer, deferred collection, Pallas window gather."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robust_speech_analysis_framework_tpu.ops.framing import (
+    CorpusBuffer,
+    Deferred,
+    _gather_frames_pallas,
+    _gather_frames_xla,
+    collect,
+    corpus_buffer,
+)
+
+
+def test_corpus_buffer_layout(rng):
+    xs = [rng.normal(size=n) for n in (1000, 37, 4096)]
+    buf = corpus_buffer(xs, pad=128, align=8)
+    cat = np.asarray(buf.x_cat)
+    for i, x in enumerate(xs):
+        off = int(buf.offsets[i])
+        assert off % 8 == 0
+        np.testing.assert_allclose(cat[off : off + len(x)],
+                                   x.astype(np.float32), rtol=1e-6)
+        # at least `pad` zeros after every file
+        assert np.all(cat[off + len(x) : off + len(x) + 128] == 0)
+
+
+def test_deferred_collect_overlaps_and_finalizes():
+    d1 = Deferred(jnp.arange(4.0), lambda h: np.asarray(h).sum())
+    d2 = Deferred.ready("done")
+    r1, r2 = collect([d1, d2])
+    assert r1 == 6.0 and r2 == "done"
+
+
+def test_pallas_gather_matches_xla_interpret(rng):
+    x = jnp.asarray(rng.normal(size=10000).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, 9500, size=53).astype(np.int32))
+    for win in (17, 480, 481):
+        a = _gather_frames_pallas(x, starts, win, interpret=True)
+        b = _gather_frames_xla(x, starts, win)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_pallas_gather_matches_xla_compiled(rng):
+    x = jnp.asarray(rng.normal(size=100000).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, 99000, size=997).astype(np.int32))
+    a = _gather_frames_pallas(x, starts, 480)
+    b = _gather_frames_xla(x, starts, 480)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
