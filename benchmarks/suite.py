@@ -48,6 +48,12 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
     waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
     warm = {f"w{i}.wav": _speech(seconds, 125 + 15 * i, 70 + i) for i in range(n_files)}
     extract_mshds_batch(warm, SR, n_workers=8, verbose=False)  # compile
+    # first pass carries residual data-dependent compiles/cache loads; the
+    # second is the steady state a real (111-file, ~1h-audio) corpus
+    # amortizes to. Both are reported; steady is the headline.
+    t0 = time.perf_counter()
+    out = extract_mshds_batch(waves, SR, n_workers=8, verbose=False)
+    dt_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = extract_mshds_batch(waves, SR, n_workers=8, verbose=False)
     dt = time.perf_counter() - t0
@@ -61,6 +67,7 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
         "wall_seconds": dt,
         "nan_rows": nan_rows,
         "audio_sec_per_sec": n_files * seconds / dt,
+        "first_pass_audio_sec_per_sec": n_files * seconds / dt_first,
     }
 
 
@@ -73,6 +80,9 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
     waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
     t0 = time.perf_counter()
     df = ex.extract_batch(waves, verbose=True)
+    dt_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    df = ex.extract_batch(waves, verbose=True)
     dt = time.perf_counter() - t0
     if len(df) != n_files:
         raise RuntimeError(f"extraction incomplete: {len(df)}/{n_files} rows")
@@ -80,23 +90,37 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
         "audio_seconds": n_files * seconds,
         "wall_seconds": dt,
         "audio_sec_per_sec": n_files * seconds / dt,
+        "first_pass_audio_sec_per_sec": n_files * seconds / dt_first,
     }
 
 
 def bench_wav2vec2(n_files: int, seconds: float) -> dict:
+    """Both reference wav2vec2 paths: full (T,768) sequences (nb03) and
+    on-device mean-pooled embeddings (nb01/SVM). The sequences number is
+    transfer-bound on this rig — the chip tunnel caps at ~50 MB/s and the
+    per-audio-second payload is 64 KB up + 153 KB down in f32."""
+    import warnings
+
     from robust_speech_analysis_framework_tpu.features.wav2vec2 import Wav2Vec2Extractor
 
-    ex = Wav2Vec2Extractor(batch_size=16, allow_random_init=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ex = Wav2Vec2Extractor(batch_size=16, allow_random_init=True)
     warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
     ex.extract_sequences(warm, verbose=False)  # compile
+    ex.extract_embeddings(warm, verbose=False)
     waves = {f"f{i}.wav": _speech(seconds, 120 + 10 * i, i) for i in range(n_files)}
     t0 = time.perf_counter()
     ex.extract_sequences(waves, verbose=False)
     dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ex.extract_embeddings(waves, verbose=False)
+    dt_emb = time.perf_counter() - t0
     return {
         "audio_seconds": n_files * seconds,
         "wall_seconds": dt,
         "audio_sec_per_sec": n_files * seconds / dt,
+        "embeddings_audio_sec_per_sec": n_files * seconds / dt_emb,
     }
 
 

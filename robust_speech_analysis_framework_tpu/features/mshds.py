@@ -337,27 +337,7 @@ def _extract_corpus(
         ),
         [None] * n, "speechrate-pitch",
     )
-    # spectral moments (:340-376): device part is voicing-independent; the
-    # voiced mask binds late (main_tracks is filled by L1's collect below).
     tail = _Level(verbose)  # collected LAST
-    t_moments = tail.add(
-        lambda: voiced_mean_moments_batch(
-            None, sr,
-            lambda: [_voiced_fn(t) for t in main_tracks],
-            0.025, 0.005, buf=buf16, defer=True,
-        ),
-        [(float("nan"),) * 4] * n, "moments",
-    )
-    # Burg formants on the 10 kHz buffer (:303-338); pulses sample the
-    # finished track on the host after collect.
-    t_formants = tail.add(
-        lambda: formant_track_burg_batch(
-            x10k, sr10k, time_step=0.005, max_formants=5,
-            max_formant_hz=5000, window_length=0.025, preemphasis_from=50,
-            preprocessed=True, buf=buf10k, defer=True,
-        ),
-        [None] * n, "formants",
-    )
 
     l0_res = l0.collect()
     wide = l0_res[k_wide]
@@ -367,13 +347,6 @@ def _extract_corpus(
         [_range_from_track(t) for t in wide] if wide is not None
         else [(75, 500)] * n
     )
-    for i in range(n):
-        try:
-            rows[i].update(speechrate_features(
-                xs[i], sr, pitch=sr_pitch[i], intensity=sr_intensity[i]
-            ))
-        except Exception:
-            pass
 
     # --- L1: range-adapted passes, batched per (floor, ceiling) ------------
     cpp_tracks: "List[Optional[PitchTrack]]" = [None] * n
@@ -421,6 +394,38 @@ def _extract_corpus(
                 [None] * len(idxs), "harmonicity",
             ),
         )
+    # Queued AFTER the L1 programs (so L1's collect doesn't wait on them)
+    # and BEFORE the host-side speech-rate/pulse work below (so the device
+    # computes them while the host marches pulses). Device part of moments
+    # is voicing-independent — the voiced mask binds late via the callable
+    # (main_tracks is filled after L1's collect); formant tracks are only
+    # sampled at pulses on the host after the tail collect.
+    t_moments = tail.add(
+        lambda: voiced_mean_moments_batch(
+            None, sr,
+            lambda: [_voiced_fn(t) for t in main_tracks],
+            0.025, 0.005, buf=buf16, defer=True,
+        ),
+        [(float("nan"),) * 4] * n, "moments",
+    )
+    t_formants = tail.add(
+        lambda: formant_track_burg_batch(
+            x10k, sr10k, time_step=0.005, max_formants=5,
+            max_formant_hz=5000, window_length=0.025, preemphasis_from=50,
+            preprocessed=True, buf=buf10k, defer=True,
+        ),
+        [None] * n, "formants",
+    )
+
+    # Host speech-rate decision logic overlaps the queued device programs.
+    for i in range(n):
+        try:
+            rows[i].update(speechrate_features(
+                xs[i], sr, pitch=sr_pitch[i], intensity=sr_intensity[i]
+            ))
+        except Exception:
+            pass
+
     l1_res = l1.collect()
     for (floor, ceiling), idxs in groups.items():
         k_ac, k_cc, k_int, k_hnr = group_keys[(floor, ceiling)]
