@@ -122,6 +122,7 @@ class OpenSmileExtractor:
         self._summary_stage = jax.jit(self._summary_stage_impl)
         self._frame_stage_batch = jax.jit(jax.vmap(self._frame_stage_impl))
         self._summary_stage_batch = jax.jit(jax.vmap(self._summary_stage_impl))
+        self._assemble_summary = jax.jit(self._assemble_summary_impl)
 
     # ---- jitted stages ----------------------------------------------------
 
@@ -140,6 +141,31 @@ class OpenSmileExtractor:
         inten = intensity_loudness(win)
         spect = spectral_llds(mag, float(cfg.sample_rate))
         return mag, mfcc, energy, zcr, inten, spect
+
+    def _assemble_summary_impl(
+        self, energy, mfcc, zcr, f0, voicing, inten, vq, spect, lengths
+    ):
+        """Concatenate the device-resident LLD streams in schema order and
+        run the masked summary stage — one program, no LLD host round trip.
+        Frames ≥ length hold padded-silence values; every summary op masks
+        by ``lengths`` so they never contribute."""
+        lld = jnp.concatenate(
+            [
+                energy[..., None], mfcc, zcr[..., None], f0[..., None],
+                voicing[..., None], inten, vq, spect,
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
+        # Edge-replicate past each file's true frame count — the serial
+        # path pads its trimmed LLD matrix with pad_frames(mode='edge'), and
+        # boundary smoothing windows see those values, so the batched path
+        # must present identical padding to match it.
+        t = lld.shape[1]
+        idx = jnp.minimum(
+            jnp.arange(t)[None, :], jnp.maximum(lengths[:, None] - 1, 0)
+        )
+        lld = jnp.take_along_axis(lld, idx[:, :, None], axis=1)
+        return jax.vmap(self._summary_stage_impl)(lld, lengths)
 
     def _summary_stage_impl(self, lld: jnp.ndarray, length: jnp.ndarray):
         from ..ops.functionals import (
@@ -268,73 +294,72 @@ class OpenSmileExtractor:
         return pd.DataFrame(rows)
 
     def _process_bucket(self, items, names, stack, n_frames_true, cols):
-        """One bucket group through all stages → list of row dicts.
+        """One bucket group through all stages -> list of row dicts.
 
-        Idempotent (safe to retry on transient backend errors).
+        Device-resident pipeline: framing/MFCC/spectral LLDs, SHS+Viterbi
+        pitch and the jitter period march chain ON DEVICE with no
+        intermediate host round trip (the march consumes the device F0
+        directly). ONE fetch brings back the period tracks + F0; the host
+        converts periods to the 4 voice-quality LLD columns (vectorized
+        prefix sums), uploads just that (B, T, 4) block, and the LLD
+        concatenation + smoothing + deltas + functionals run as one more
+        device program. Idempotent (safe to retry on transient errors).
         """
-        from ..ops.bucketing import bucket_size
+        import jax
+
+        from ..ops.jitter import mark_periods_batch, periods_to_llds
         from ..ops.shs_pitch import shs_pitch_batch
 
         cfg = self.config.frontend
         mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(
             jnp.asarray(stack)
         )
-        # mag stays on device (the large intermediate); only the small
-        # F0/voicing contours come back to the host.
-        f0, voicing = shs_pitch_batch(
-            mag, cfg.sample_rate, energy, self.config.shs, self.config.energy_gate,
+        f0_dev, voicing_dev = shs_pitch_batch(
+            mag, cfg.sample_rate, energy, self.config.shs,
+            self.config.energy_gate, as_device=True,
         )
-        mfcc, energy = np.asarray(mfcc), np.asarray(energy)
-        zcr, inten, spect = np.asarray(zcr), np.asarray(inten), np.asarray(spect)
-
-        # Jitter period marching: one vmapped while_loop device program for
-        # the whole bucket (ops.jitter.mark_periods_batch); the NumPy march
-        # remains the oracle/fallback.
-        from ..ops.jitter import mark_periods_batch, periods_to_llds
-
         nts = [int(v) for v in n_frames_true]
         try:
-            period_tracks = mark_periods_batch(
-                stack, cfg.sample_rate, f0,
+            march = mark_periods_batch(
+                stack, cfg.sample_rate, f0_dev,
                 [len(x) for _, x in items], nts,
                 hop_s=cfg.hop_seconds,
                 search_range_rel=self.config.jitter_search_range,
+                defer=True,
             )
         except Exception:
+            march = None
+
+        if march is not None:
+            march_host, f0 = jax.device_get([march.arrays, f0_dev])
+            period_tracks = march.finalize(march_host)
+        else:
+            f0 = np.asarray(f0_dev)
             period_tracks = None
 
-        def file_lld(i_item):
-            i, (name, x) = i_item
+        t_pad = f0.shape[1]
+        vq = np.zeros((len(items), t_pad, 4), np.float32)
+        for i, (name, x) in enumerate(items):
             nt = nts[i]
             if period_tracks is not None:
-                vq = periods_to_llds(
+                v = periods_to_llds(
                     period_tracks[i], f0[i, :nt], cfg.sample_rate,
                     hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
                 )
-            else:
-                vq = jitter_shimmer_llds(
+            else:  # oracle fallback: host NumPy march
+                v = jitter_shimmer_llds(
                     x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
                     hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
                     search_range_rel=self.config.jitter_search_range,
                 )
-            return np.concatenate(
-                [energy[i, :nt, None], mfcc[i, :nt], zcr[i, :nt, None],
-                 f0[i, :nt, None], voicing[i, :nt, None], inten[i, :nt],
-                 vq[:nt], spect[i, :nt]],
-                axis=1,
-            )
+            vq[i, :nt] = v[:nt]
 
-        llds = [file_lld(it) for it in enumerate(items)]
-        frame_bucket = max(bucket_size(len(l)) for l in llds)
-        lld_stack = np.zeros((len(llds), frame_bucket, llds[0].shape[1]), np.float32)
-        lengths = np.zeros(len(llds), np.int32)
-        for i, l in enumerate(llds):
-            lld_stack[i, : len(l)] = l
-            lengths[i] = len(l)
-        f_sma, f_de = self._summary_stage_batch(
-            jnp.asarray(lld_stack), jnp.asarray(lengths)
+        f_sma, f_de = self._assemble_summary(
+            energy, mfcc, zcr, f0_dev, voicing_dev, inten,
+            jnp.asarray(vq), spect,
+            jnp.asarray(np.asarray(nts, np.int32)),
         )
-        f_sma, f_de = np.asarray(f_sma), np.asarray(f_de)
+        f_sma, f_de = (np.asarray(a) for a in jax.device_get([f_sma, f_de]))
         rows = []
         for i, name in enumerate(names):
             vec = np.concatenate([f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)])

@@ -207,36 +207,45 @@ def mark_periods_batch(
     hop_s: float = 0.010,
     search_range_rel: float = 0.25,
     f0_min: float = 40.0,
-) -> "List[PeriodTrack]":
+    defer: bool = False,
+):
     """Batched device period marching over a bucket of files.
 
     ``stack`` (B, N) zero-padded waveforms; ``f0_pad`` (B, T) padded F0
-    contours; ``ns``/``n_frames`` true per-file sample/frame counts.
-    Matches :func:`mark_periods` up to float32-vs-float64 lag-argmax ties.
+    contours (may be device-resident — chaining on a device F0 skips a
+    host round trip); ``ns``/``n_frames`` true per-file sample/frame
+    counts. Matches :func:`mark_periods` up to float32-vs-float64
+    lag-argmax ties. ``defer=True`` returns an ``ops.framing.Deferred``.
     """
+    from .framing import Deferred
+
     B, N = stack.shape
     hop_samples = max(int(round(hop_s * sr)), 1)
     p_max = max(N // 16, 4)
-    starts, lengths, amps, corrs, counts = jax.device_get(
-        _march_periods_device(
-            jnp.asarray(stack, jnp.float32),
-            jnp.asarray(f0_pad, jnp.float32),
-            jnp.asarray(np.asarray(ns, np.int32)),
-            jnp.asarray(np.asarray(n_frames, np.int32)),
-            float(sr), hop_samples, float(search_range_rel), float(f0_min),
-            p_max,
-        )
+    dev = _march_periods_device(
+        jnp.asarray(stack, jnp.float32),
+        jnp.asarray(f0_pad, jnp.float32),
+        jnp.asarray(np.asarray(ns, np.int32)),
+        jnp.asarray(np.asarray(n_frames, np.int32)),
+        float(sr), hop_samples, float(search_range_rel), float(f0_min),
+        p_max,
     )
-    out = []
-    for i in range(B):
-        k = int(counts[i])
-        out.append(PeriodTrack(
-            starts[i, :k].astype(np.int64),
-            lengths[i, :k].astype(np.int64),
-            amps[i, :k].astype(np.float64),
-            corrs[i, :k].astype(np.float64),
-        ))
-    return out
+
+    def _finalize(host):
+        starts, lengths, amps, corrs, counts = host
+        out = []
+        for i in range(B):
+            k = int(counts[i])
+            out.append(PeriodTrack(
+                starts[i, :k].astype(np.int64),
+                lengths[i, :k].astype(np.int64),
+                amps[i, :k].astype(np.float64),
+                corrs[i, :k].astype(np.float64),
+            ))
+        return out
+
+    d = Deferred(dev, _finalize)
+    return d if defer else d.result()
 
 
 def periods_to_llds(

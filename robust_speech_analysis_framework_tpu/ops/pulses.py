@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .intensity import IntensityContour
@@ -131,6 +133,343 @@ def point_process_cc(
         i = j
     pulses = np.asarray(sorted(set(np.round(np.asarray(pulses), 9))))
     return pulses
+
+
+# ---------------------------------------------------------------------------
+# Corpus-batched pulse marking (device)
+# ---------------------------------------------------------------------------
+#
+# point_process_cc's marching is sequential only through the current pulse
+# position, and — because the host sorts/dedups the pulse set at the end —
+# the forward and backward marches of every voiced STRETCH are independent.
+# The batched path therefore flattens (file, stretch) into lanes of one
+# vmapped device program: each lane seeds at the stretch-start peak and runs
+# the two marches as while_loops over fixed-size masked windows gathered
+# from the (already device-resident) corpus waveform. Pulse positions are
+# carried as integer sample indices, so the index arithmetic matches the
+# host's float64 int() truncations exactly; only the 1/f0 interpolation and
+# the window-break comparisons are float32.
+
+_W_SEED = 1088  # ≥ 2·sr/f0_min samples (f0_min 30 Hz @ 16 kHz → 1067)
+_W_MARCH = 256  # ≥ 0.45·sr/f0_min + 2
+
+
+def _rows32_gather(x32, starts, win_len: int):
+    """(S,) starts → (S, win_len) windows via 32-sample-row gather +
+    two-stage shift select (same formulation as
+    ops.framing._gather_frames_shifted; a vmapped dynamic_slice would
+    lower to an elementwise gather, which dominates the march loop)."""
+    s = starts.shape[0]
+    wb = win_len // 32 + 2
+    a = starts // 32
+    c = starts % 32
+    rows = a[:, None] + jnp.arange(wb)[None, :]
+    flat = x32[rows].reshape(s, wb * 32)
+    w1 = win_len + 8
+    outs1 = jnp.stack([flat[:, 8 * k : 8 * k + w1] for k in range(4)], 0)
+    oh1 = ((c // 8)[:, None] == jnp.arange(4)[None, :]).astype(flat.dtype)
+    flat2 = jnp.einsum("kNw,Nk->Nw", outs1, oh1)
+    outs2 = jnp.stack([flat2[:, k : k + win_len] for k in range(8)], 0)
+    oh2 = ((c % 8)[:, None] == jnp.arange(8)[None, :]).astype(flat.dtype)
+    return jnp.einsum("kNw,Nk->Nw", outs2, oh2)
+
+
+def _pulses_device_impl(
+    x_cat, f0_pad, t0s, nfs,
+    base, nx, f0row, seed_a, seed_b, t_start, t_end, direction,
+    sr: float, dt: float, p_max: int,
+):
+    """Lane-vectorized march (see module comment): ONE while_loop whose
+    state carries every lane's cursor, so the per-iteration window reads
+    are a single batched row-gather instead of per-lane dynamic slices."""
+    s_lanes = base.shape[0]
+    f0nan = jnp.where(f0_pad > 0, f0_pad, jnp.nan)
+    t_dim = f0_pad.shape[1]
+    total32 = -(-(x_cat.shape[0] + _W_SEED + 64) // 32) * 32
+    x32 = jnp.pad(x_cat, (0, total32 - x_cat.shape[0])).reshape(-1, 32)
+
+    def f_at(t, row):  # vectorized over lanes
+        t0 = t0s[row]
+        n = nfs[row]
+        t_last = t0 + (n - 1) * dt
+        pos = (t - t0) / dt
+        i0 = jnp.clip(pos.astype(jnp.int32), 0, n - 1)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        w = jnp.clip(pos - i0, 0.0, 1.0)
+        val = (1 - w) * f0nan[row, jnp.clip(i0, 0, t_dim - 1)] + \
+            w * f0nan[row, jnp.clip(i1, 0, t_dim - 1)]
+        return jnp.where((t < t0) | (t > t_last), jnp.nan, val)
+
+    # seeds: peak of |x| in the host-precomputed [sa, sb) windows
+    wseed = _rows32_gather(x32, base + seed_a, _W_SEED)
+    wseed = jnp.where(
+        jnp.arange(_W_SEED)[None, :] < (seed_b - seed_a)[:, None],
+        jnp.abs(wseed), -1.0,
+    )
+    seeds = seed_a + jnp.argmax(wseed, axis=1).astype(jnp.int32)
+    valid = seed_b > seed_a
+    is_fwd = direction > 0
+
+    lane_ids = jnp.arange(s_lanes)
+
+    def cond(st):
+        _, _, alive, _ = st
+        return jnp.any(alive)
+
+    def body(st):
+        t_samp, k, alive, buf = st
+        t_sec = t_samp.astype(jnp.float32) / sr
+        f = f_at(
+            jnp.where(is_fwd, jnp.minimum(t_sec, t_end),
+                      jnp.maximum(t_sec, t_start)),
+            f0row,
+        )
+        ok = alive & (f > 0)  # NaN-safe
+        T = 1.0 / jnp.where(f > 0, f, 1.0)
+        ok &= jnp.where(
+            is_fwd,
+            t_sec + 0.8 * T <= t_end + T,
+            t_sec - 0.8 * T >= t_start - T,
+        )
+        a = jnp.where(
+            is_fwd,
+            t_samp + (0.8 * T * sr).astype(jnp.int32),
+            jnp.maximum(
+                0, jnp.floor(t_samp - 1.25 * T * sr).astype(jnp.int32)
+            ),
+        )
+        b = jnp.where(
+            is_fwd,
+            jnp.minimum(nx, t_samp + (1.25 * T * sr).astype(jnp.int32) + 1),
+            jnp.floor(t_samp - 0.8 * T * sr).astype(jnp.int32) + 1,
+        )
+        ok &= b > a
+        w = _rows32_gather(x32, base + jnp.maximum(a, 0), _W_MARCH)
+        w = jnp.where(
+            jnp.arange(_W_MARCH)[None, :] <
+            jnp.where(ok, b - a, 0)[:, None],
+            jnp.abs(w), -1.0,
+        )
+        t_new = jnp.maximum(a, 0) + jnp.argmax(w, axis=1).astype(jnp.int32)
+        buf = buf.at[lane_ids, k].set(jnp.where(ok, t_new, buf[lane_ids, k]))
+        return (
+            jnp.where(ok, t_new, t_samp),
+            k + ok.astype(jnp.int32),
+            ok & (k + 1 < p_max),
+            buf,
+        )
+
+    _, ks, _, bufs = jax.lax.while_loop(
+        cond, body,
+        (
+            seeds,
+            jnp.zeros(s_lanes, jnp.int32),
+            valid,
+            jnp.zeros((s_lanes, p_max), jnp.int32),
+        ),
+    )
+    # only forward lanes report the seed (avoids a duplicate per pair)
+    seeds_out = jnp.where(valid & is_fwd, seeds, -1)
+    return seeds_out, bufs, ks
+
+
+_pulses_jitted = jax.jit(_pulses_device_impl, static_argnums=(12, 13, 14))
+
+
+def point_process_cc_batch(
+    xs,
+    sr: float,
+    tracks,
+    buf=None,
+    defer: bool = False,
+):
+    """Corpus-batched :func:`point_process_cc` over many (file, track)
+    pairs at once.
+
+    ``tracks``: one PitchTrack (or None) per file in ``xs`` (or ``buf``) —
+    or a CONCATENATION of several such per-file lists (``len(tracks)`` a
+    multiple of the file count; entry k belongs to file ``k % n_files``),
+    so several track families (e.g. MSHDS's cc and cpp passes) march in
+    ONE device program. Marching runs with one lane per voiced-stretch
+    chunk; see the module comment. Returns one pulse-time array per
+    ``tracks`` entry; ``defer=True`` → ``ops.framing.Deferred``.
+    """
+    from .bucketing import bucket_size, pad_frames
+    from .framing import Deferred
+
+    if buf is not None:
+        xs = buf.xs
+    n_files = len(xs)
+    lens = [len(np.asarray(x)) for x in xs]
+    n_tracks = len(tracks)
+    if n_files == 0 or n_tracks % n_files:
+        raise ValueError(f"{n_tracks} tracks not a multiple of {n_files} files")
+    file_of = lambda k: k % n_files
+
+    # f0 rows (one per file with a usable track)
+    rows_meta = []  # per file: (row_idx | None)
+    f0_list, t0_list, nf_list = [], [], []
+    for tr in tracks:
+        if tr is None or len(tr.times) < 2:
+            rows_meta.append(None)
+            continue
+        rows_meta.append(len(f0_list))
+        f0_list.append(np.asarray(tr.f0, np.float32))
+        t0_list.append(float(tr.times[0]))
+        nf_list.append(len(tr.times))
+    empty = [np.zeros(0) for _ in range(n_tracks)]
+    if not f0_list:
+        return Deferred.ready(empty) if defer else empty
+    first = next(tr for tr in tracks if tr is not None and len(tr.times) > 1)
+    dt = float(first.times[1] - first.times[0])
+    t_max = max(len(f) for f in f0_list)
+    f0_pad = np.zeros((len(f0_list), t_max), np.float32)
+    for i, f in enumerate(f0_list):
+        f0_pad[i, : len(f)] = f
+
+    # Stretch lanes (host decision logic, exact f64 seed windows). The
+    # device while_loop runs lanes in lockstep at a high fixed
+    # per-iteration cost (~100 µs measured on the tunneled chip), so long
+    # voiced stretches are SPLIT into ≤ _SPLIT_SEC chunks marched as
+    # independent lanes; each chunk keeps only the pulses it owns
+    # ([c0, c1) — open-ended at the true stretch boundaries), so overlap
+    # duplicates from re-seeding are dropped. Chunk seeds differ from the
+    # single-seed host march only for the first few periods after each cut
+    # (peak-picking locks onto the same waveform peaks).
+    _SPLIT_SEC = 0.5
+    lanes = []  # (track, row, seed_a, seed_b, ts, te, keep_lo, keep_hi)
+    for ti, tr in enumerate(tracks):
+        fi = file_of(ti)
+        row = rows_meta[ti]
+        if row is None:
+            continue
+        f0 = np.asarray(tr.f0)
+        times = tr.times
+        n = len(times)
+        i = 0
+        while i < n:
+            if f0[i] <= 0:
+                i += 1
+                continue
+            j = i
+            while j < n and f0[j] > 0:
+                j += 1
+            t_start, t_end = float(times[i]), float(times[j - 1])
+            n_chunks = max(1, int(np.ceil((t_end - t_start) / _SPLIT_SEC)))
+            edges = np.linspace(t_start, t_end, n_chunks + 1)
+            for ci in range(n_chunks):
+                c0, c1 = float(edges[ci]), float(edges[ci + 1])
+                # f0 at the chunk start (nearest voiced frame in [i, j))
+                fi0 = min(max(i, int(round((c0 - float(times[0])) / dt))), j - 1)
+                T = 1.0 / float(f0[fi0]) if f0[fi0] > 0 else 1.0 / float(f0[i])
+                a = int(max(0.0, (c0 - T) * sr))
+                b = int(min(lens[fi], (c0 + T) * sr))
+                if b <= a:
+                    continue
+                keep_lo = -np.inf if ci == 0 else c0
+                keep_hi = np.inf if ci == n_chunks - 1 else c1
+                lanes.append((ti, row, a, b, c0, c1, keep_lo, keep_hi))
+            i = j
+
+    if not lanes:
+        return Deferred.ready(empty) if defer else empty
+
+    if buf is not None:
+        offsets = buf.offsets
+        x_cat = buf.x_cat
+        tail_pad = buf.pad
+    else:
+        pieces, offsets = [], np.zeros(n_files, np.int64)
+        off = 0
+        for i, x in enumerate(xs):
+            offsets[i] = off
+            pieces.append(np.pad(
+                np.asarray(x, np.float64), (0, _W_SEED)
+            ).astype(np.float32))
+            off += lens[i] + _W_SEED
+        x_cat = jnp.asarray(np.concatenate(pieces))
+        tail_pad = _W_SEED
+    if tail_pad < _W_SEED:
+        raise ValueError(f"corpus buffer pad {tail_pad} < seed window {_W_SEED}")
+
+    max_dur = max(l[5] - l[4] for l in lanes)
+    # advance ≥ 0.8·T ≥ 0.8·sr/620 ≈ 20 samples per pulse (SHS/AC ceilings)
+    p_max = bucket_size(int(max_dur * sr / 16) + 8)
+
+    fls = np.asarray([l[0] for l in lanes], np.int32)  # TRACK indices
+    lane_files = np.asarray([file_of(int(t)) for t in fls], np.int64)
+    lane_arr = lambda k, dtype: np.asarray([l[k] for l in lanes], dtype)
+    base = (offsets[lane_files]).astype(np.int32)
+    nx = np.asarray([lens[f] for f in lane_files], np.int32)
+    rows_a = lane_arr(1, np.int32)
+    seed_a = lane_arr(2, np.int32)
+    seed_b = lane_arr(3, np.int32)
+    ts_a = lane_arr(4, np.float32)
+    te_a = lane_arr(5, np.float32)
+    # one forward + one backward lane per chunk
+    def dup(a):
+        return np.concatenate([a, a])
+    fls2 = dup(fls)
+    base = dup(base)
+    nx = dup(nx)
+    rows_a = dup(rows_a)
+    seed_a = dup(seed_a)
+    seed_b = dup(seed_b)
+    ts_a = dup(ts_a)
+    te_a = dup(te_a)
+    direction = np.concatenate(
+        [np.ones(len(lanes), np.int32), -np.ones(len(lanes), np.int32)]
+    )
+    # pad lane count to a bucket (dummy lanes: empty seed window)
+    s_pad = bucket_size(len(fls2), min_bucket=8)
+    def padlane(a, fill=0):
+        return np.pad(a, (0, s_pad - len(a)), constant_values=fill)
+    base = padlane(base)
+    nx = padlane(nx, 1)
+    rows_a = padlane(rows_a)
+    seed_a = padlane(seed_a)
+    seed_b = padlane(seed_b)  # pad b == 0 == a → invalid lane
+    ts_a = padlane(ts_a)
+    te_a = padlane(te_a, -1.0)
+    direction = padlane(direction, 1)
+
+    dev = _pulses_jitted(
+        x_cat, jnp.asarray(f0_pad), jnp.asarray(np.asarray(t0_list, np.float32)),
+        jnp.asarray(np.asarray(nf_list, np.int32)),
+        jnp.asarray(base), jnp.asarray(nx), jnp.asarray(rows_a),
+        jnp.asarray(seed_a), jnp.asarray(seed_b),
+        jnp.asarray(ts_a), jnp.asarray(te_a), jnp.asarray(direction),
+        float(sr), float(dt), int(p_max),
+    )
+
+    n_lanes2 = len(fls2)
+    keep_lo = dup(np.asarray([l[6] for l in lanes]))
+    keep_hi = dup(np.asarray([l[7] for l in lanes]))
+
+    def _finalize(host):
+        seeds, bufs, ks = host
+        per_file: "List[List[float]]" = [[] for _ in range(n_tracks)]
+        for li in range(n_lanes2):
+            fi = int(fls2[li])  # track index
+            samp = []
+            if seeds[li] >= 0:
+                samp.append(int(seeds[li]))
+            samp.extend(int(v) for v in bufs[li, : int(ks[li])])
+            if not samp:
+                continue
+            lo, hi = keep_lo[li], keep_hi[li]
+            per_file[fi].extend(
+                t for t in (s / sr for s in samp) if lo <= t < hi
+            )
+        out = []
+        for fi in range(n_tracks):
+            out.append(np.asarray(sorted(set(
+                np.round(np.asarray(per_file[fi]), 9).tolist()
+            ))))
+        return out
+
+    d = Deferred(dev, _finalize)
+    return d if defer else d.result()
 
 
 def vuv_intervals(

@@ -191,33 +191,40 @@ def viterbi_smooth(
         [freqs > 0, jnp.zeros((t, 1), bool)], axis=1
     )
 
-    def step(carry, inputs):
-        prev_cost, prev_f, prev_v = carry
-        loc, f, v = inputs
-        jump = jnp.abs(jnp.log2(prev_f[:, None] / f[None, :]))
-        both_voiced = prev_v[:, None] & v[None, :]
-        same = prev_v[:, None] == v[None, :]
+    # Associative-scan Viterbi (same reformulation as ops.pitch._viterbi):
+    # the forward recurrence is a min-plus matrix-chain product, so prefix
+    # costs c_t and suffix completions d_t both come from
+    # lax.associative_scan in O(log T) depth instead of a T-step lax.scan
+    # (T sequential kernel launches); each frame's winner is
+    # argmin_j c_t[j] + d_t[j].
+    if t == 1:
+        path = jnp.argmin(local[0])[None]
+    else:
+        f_prev, v_prev = states_f[:-1], is_voiced[:-1]
+        f_cur, v_cur = states_f[1:], is_voiced[1:]
+        jump = jnp.abs(jnp.log2(f_prev[:, :, None] / f_cur[:, None, :]))
+        both_voiced = v_prev[:, :, None] & v_cur[:, None, :]
+        same = v_prev[:, :, None] == v_cur[:, None, :]
         trans = jnp.where(
             both_voiced,
             params.w_tvv * jump,
             jnp.where(same, params.w_tuu, params.w_tvuv),
         )
-        total = prev_cost[:, None] + trans
-        best_prev = jnp.argmin(total, axis=0)
-        cost = jnp.min(total, axis=0) + loc
-        return (cost, f, v), best_prev
+        M = trans + local[1:][:, None, :]  # (T-1, S, S)
 
-    init = (local[0], states_f[0], is_voiced[0])
-    (final_cost, _, _), backptrs = jax.lax.scan(
-        step, init, (local[1:], states_f[1:], is_voiced[1:])
-    )
-    last = jnp.argmin(final_cost)
+        def combine(a, b):
+            return jnp.min(a[..., :, :, None] + b[..., None, :, :], axis=-2)
 
-    def back(idx, ptrs):
-        return ptrs[idx], idx
-
-    _, path_rev = jax.lax.scan(back, last, backptrs, reverse=True)
-    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+        prefix = jax.lax.associative_scan(combine, M)
+        cost = jnp.concatenate(
+            [local[:1], jnp.min(local[0][None, :, None] + prefix, axis=1)],
+            axis=0,
+        )  # (T, S)
+        suffix = jax.lax.associative_scan(combine, M, reverse=True)
+        d = jnp.concatenate(
+            [jnp.min(suffix, axis=-1), jnp.zeros((1, c + 1), M.dtype)], axis=0
+        )
+        path = jnp.argmin(cost + d, axis=1)
 
     rows = jnp.arange(t)
     chose_voiced = path < c
@@ -266,15 +273,18 @@ def shs_pitch_batch(
     frame_rms: np.ndarray,
     params: ShsParams = ShsParams(),
     energy_threshold: float = 0.001,
+    as_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched :func:`shs_pitch`: mag (N, T, F), frame_rms (N, T) →
     (F0 (N, T), voicing (N, T)). All stages vmapped; one compiled program
-    per (N, T, F) bucket shape."""
+    per (N, T, F) bucket shape. ``as_device=True`` keeps the (already
+    energy-gated) outputs on device so downstream device consumers (the
+    jitter march, the LLD assembly) can chain without a host round trip."""
     mag = jnp.asarray(mag)
     n_points = mag.shape[-1]
     log_min, dlog = octave_grid(float(sr), float(params.min_f_scale), n_points)
 
-    def single(m):
+    def single(m, rms):
         s_oct = octave_scale_spectrum(
             m, float(sr), float(params.min_f_scale), n_points
         )
@@ -283,10 +293,10 @@ def shs_pitch_batch(
             params.n_candidates, (params.min_pitch, params.max_pitch),
         )
         voicing = _voicing_from_mag(m, float(sr), float(params.min_pitch))
-        return viterbi_smooth(freqs, scores, voicing, params)
+        f0, voc = viterbi_smooth(freqs, scores, voicing, params)
+        return jnp.where(rms >= energy_threshold, f0, 0.0), voc
 
-    f0, voc = jax.jit(jax.vmap(single))(mag)
-    f0 = np.asarray(f0)
-    voc = np.asarray(voc)
-    gate = np.asarray(frame_rms) >= energy_threshold
-    return np.where(gate, f0, 0.0), voc
+    f0, voc = jax.jit(jax.vmap(single))(mag, jnp.asarray(frame_rms))
+    if as_device:
+        return f0, voc
+    return np.asarray(f0), np.asarray(voc)
