@@ -179,13 +179,21 @@ def bench_cv(quick: bool) -> dict:
                      "label": "Patient" if i % 2 else "Control"})
     hp = {"learning_rate": 1e-3, "dropout_rate": 0.3, "cnn_out_channels": 32,
           "lstm_hidden_dim": 64, "activation_fn": "silu"}
+    meta = pd.DataFrame(rows)
+    epochs = 2 if quick else 5
     t0 = time.perf_counter()
-    run_dl_standard_kfold_cv(
-        seqs, pd.DataFrame(rows), hp, n_splits=3,
-        epochs=2 if quick else 5, patience=10, batch_size=4,
-    )
+    run_dl_standard_kfold_cv(seqs, meta, hp, n_splits=3,
+                             epochs=epochs, patience=10, batch_size=4)
     dl_dt = time.perf_counter() - t0
-    return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt}
+    # second round: every program is live, so this is the steady state a
+    # real tuning sweep (hundreds of trials of the same shapes) runs at;
+    # the first round is dominated by XLA compile/cache loading
+    t0 = time.perf_counter()
+    run_dl_standard_kfold_cv(seqs, meta, hp, n_splits=3,
+                             epochs=epochs, patience=10, batch_size=4)
+    dl_dt2 = time.perf_counter() - t0
+    return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt,
+            "dl_3fold_steady_seconds": dl_dt2}
 
 
 STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",

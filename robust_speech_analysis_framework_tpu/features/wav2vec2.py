@@ -119,6 +119,13 @@ class Wav2Vec2Extractor:
             ).astype(hidden.dtype)
             return jnp.einsum("bth,bt->bh", hidden, mask), out_lens
 
+        def fwd_pooled_scan(p, wavs, lengths):
+            # (nb, bs, L) + (nb, bs) → one program: lax.map over batch
+            # slabs bounds peak memory at one batch while the whole corpus
+            # uploads/downloads as single transfers.
+            return jax.lax.map(lambda wl: fwd_pooled(p, wl[0], wl[1]),
+                               (wavs, lengths))
+
         if mesh is not None:
             # Data-parallel extraction: chunk batches shard over 'dp', the
             # encoder weights shard over 'mp' per the framework rules; XLA
@@ -143,9 +150,11 @@ class Wav2Vec2Extractor:
                 in_shardings=(p_sh, wav_sh, len_sh),
                 out_shardings=(batch_sharding(mesh, ndim=2), len_sh),
             )
+            self._forward_pooled_scan = None  # mesh path batches explicitly
         else:
             self._forward = jax.jit(fwd)
             self._forward_pooled = jax.jit(fwd_pooled)
+            self._forward_pooled_scan = jax.jit(fwd_pooled_scan)
 
     @classmethod
     def from_hf_checkpoint(cls, checkpoint_path_or_name: str, **kwargs):
@@ -285,13 +294,37 @@ class Wav2Vec2Extractor:
         hdim = self.config.hidden_size
         sums = np.zeros((len(names), hdim), np.float64)
         counts = np.zeros(len(names), np.int64)
-        for sel, chunk_sums, out_lens in self._run_batches(
-            chunk_data, self._forward_pooled
-        ):
-            for j, i in enumerate(sel):
-                fi = chunk_refs[i].file_index
-                sums[fi] += chunk_sums[j]
-                counts[fi] += int(out_lens[j])
+        if self._forward_pooled_scan is not None:
+            # whole corpus as ONE device program (lax.map over batch slabs):
+            # single upload, single (N, H) download, no per-batch dispatch
+            bs = self.batch_size
+            n_chunks = len(chunk_data)
+            nb = -(-n_chunks // bs)
+            wavs = np.zeros((nb * bs, self.chunk_size), np.float32)
+            lens = np.full(nb * bs, self.min_samples, np.int32)
+            for i, c in enumerate(chunk_data):
+                if self.normalize:
+                    c = (c - c.mean()) / np.sqrt(c.var() + 1e-7)
+                wavs[i, : len(c)] = c
+                lens[i] = len(c)
+            chunk_sums, out_lens = jax.device_get(self._forward_pooled_scan(
+                self.params,
+                jnp.asarray(wavs.reshape(nb, bs, self.chunk_size)),
+                jnp.asarray(lens.reshape(nb, bs)),
+            ))
+            chunk_sums = np.asarray(chunk_sums).reshape(nb * bs, hdim)
+            out_lens = np.asarray(out_lens).reshape(nb * bs)
+            for i, ref in enumerate(chunk_refs):
+                sums[ref.file_index] += chunk_sums[i]
+                counts[ref.file_index] += int(out_lens[i])
+        else:
+            for sel, chunk_sums, out_lens in self._run_batches(
+                chunk_data, self._forward_pooled
+            ):
+                for j, i in enumerate(sel):
+                    fi = chunk_refs[i].file_index
+                    sums[fi] += chunk_sums[j]
+                    counts[fi] += int(out_lens[j])
 
         rows = []
         for fi, name in enumerate(names):

@@ -117,3 +117,49 @@ def test_pitch_track_batch_matches_serial_and_handles_short_files():
         assert ((tracks[i].f0 > 0) == (ref.f0 > 0)).all()
         both = (ref.f0 > 0) & (tracks[i].f0 > 0)
         np.testing.assert_allclose(tracks[i].f0[both], ref.f0[both], atol=1e-3)
+
+
+def test_point_process_cc_batch_matches_host_oracle():
+    """Device/lane-batched pulse marching vs the sequential NumPy oracle:
+    >=97% identical pulse positions on synthetic voiced audio (f32 window
+    ties account for the rest)."""
+    from robust_speech_analysis_framework_tpu.ops.framing import corpus_buffer
+    from robust_speech_analysis_framework_tpu.ops.pitch import (
+        PitchParams,
+        pitch_track_batch,
+    )
+    from robust_speech_analysis_framework_tpu.ops.pulses import (
+        point_process_cc,
+        point_process_cc_batch,
+    )
+
+    def voiced(seconds, f0, seed):
+        # gated speech-like signal (voiced runs + pauses)
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(seconds * SR)) / SR
+        v = sum(np.sin(2 * np.pi * k * f0 * (1 + 0.01 * np.sin(2 * np.pi * 3 * t)) * t) / k
+                for k in range(1, 12))
+        gate = np.where((t % 0.6) < 0.42, 1.0, 0.02)
+        return (0.3 * gate * v / np.abs(v).max()
+                + 0.002 * rng.normal(size=len(t)))
+
+    waves = [voiced(3.0 + 0.5 * i, 110 + 30 * i, i) for i in range(3)]
+    buf = corpus_buffer(waves, pad=4096, align=8)
+    tracks = pitch_track_batch(
+        None, SR,
+        PitchParams(time_step=0.005, floor=60, ceiling=250, method="cc"),
+        buf=buf,
+    )
+    # two track families in one call (the MSHDS usage shape)
+    got = point_process_cc_batch(None, SR, list(tracks) + list(tracks), buf=buf)
+    assert len(got) == 6
+    total_ref = 0
+    for i, x in enumerate(waves):
+        ref = point_process_cc(x, SR, tracks[i])
+        total_ref += len(ref)
+        assert abs(len(got[i]) - len(ref)) <= max(3, len(ref) // 20)
+        if len(got[i]):
+            overlap = np.isin(np.round(got[i], 9), np.round(ref, 9)).mean()
+            assert overlap > 0.97, f"file {i}: overlap {overlap:.3f}"
+        np.testing.assert_allclose(got[i], got[i + 3])  # family split intact
+    assert total_ref > 100  # the signals produce substantial pulse trains
