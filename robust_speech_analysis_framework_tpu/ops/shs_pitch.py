@@ -20,7 +20,7 @@ Spectral work is batched JAX; the Viterbi is a ``lax.scan``.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -282,21 +282,34 @@ def shs_pitch_batch(
     jitter march, the LLD assembly) can chain without a host round trip."""
     mag = jnp.asarray(mag)
     n_points = mag.shape[-1]
-    log_min, dlog = octave_grid(float(sr), float(params.min_f_scale), n_points)
+    f0, voc = _shs_batched_jit(params, float(sr), n_points,
+                               float(energy_threshold))(
+        mag, jnp.asarray(frame_rms)
+    )
+    if as_device:
+        return f0, voc
+    return np.asarray(f0), np.asarray(voc)
+
+
+@lru_cache(maxsize=32)
+def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
+                     energy_threshold: float):
+    """One cached jitted chain per (params, sr, n_points, threshold) — a
+    fresh ``jax.jit(closure)`` per call would retrace and reload the
+    compiled program from the persistent cache every invocation (~0.65 s
+    measured on the tunneled chip)."""
+    log_min, dlog = octave_grid(sr, float(params.min_f_scale), n_points)
 
     def single(m, rms):
         s_oct = octave_scale_spectrum(
-            m, float(sr), float(params.min_f_scale), n_points
+            m, sr, float(params.min_f_scale), n_points
         )
         freqs, scores = shs_candidates(
             s_oct, log_min, dlog, params.n_harmonics, params.compression,
             params.n_candidates, (params.min_pitch, params.max_pitch),
         )
-        voicing = _voicing_from_mag(m, float(sr), float(params.min_pitch))
+        voicing = _voicing_from_mag(m, sr, float(params.min_pitch))
         f0, voc = viterbi_smooth(freqs, scores, voicing, params)
         return jnp.where(rms >= energy_threshold, f0, 0.0), voc
 
-    f0, voc = jax.jit(jax.vmap(single))(mag, jnp.asarray(frame_rms))
-    if as_device:
-        return f0, voc
-    return np.asarray(f0), np.asarray(voc)
+    return jax.jit(jax.vmap(single))
