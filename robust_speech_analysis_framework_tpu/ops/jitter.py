@@ -22,7 +22,6 @@ slices), while :func:`mark_periods` remains the NumPy reference/oracle.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import List, NamedTuple, Tuple
 

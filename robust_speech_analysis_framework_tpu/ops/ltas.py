@@ -13,7 +13,6 @@ bins, energy-normalized per period. Slope = difference of dB band energies
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Tuple
 

@@ -294,7 +294,7 @@ def point_process_cc_batch(
     chunk; see the module comment. Returns one pulse-time array per
     ``tracks`` entry; ``defer=True`` → ``ops.framing.Deferred``.
     """
-    from .bucketing import bucket_size, pad_frames
+    from .bucketing import bucket_size
     from .framing import Deferred
 
     if buf is not None:
