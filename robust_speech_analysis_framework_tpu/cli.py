@@ -24,11 +24,24 @@ def _cmd_extract(args) -> int:
     from .experiments import extract_all_features
     from .features.wav2vec2 import Wav2Vec2Extractor
 
+    features = args.features.split(",")
     extractor = None
     if args.wav2vec2_checkpoint:
         extractor = Wav2Vec2Extractor.from_hf_checkpoint(args.wav2vec2_checkpoint)
     elif args.allow_random_wav2vec2:
         extractor = Wav2Vec2Extractor(allow_random_init=True)
+    elif "wav2vec2" in features:
+        # fail fast: otherwise the mshds/opensmile stages run for minutes
+        # before the wav2vec2 stage hits the random-weights guard
+        print(
+            "error: --features includes wav2vec2 but no --wav2vec2-checkpoint "
+            "was given (the reference always runs pretrained "
+            "facebook/wav2vec2-base-960h). Pass --wav2vec2-checkpoint PATH, "
+            "--allow-random-wav2vec2 (throughput testing only), or drop "
+            "wav2vec2 from --features.",
+            file=sys.stderr,
+        )
+        return 2
     opensmile_config = None
     if args.opensmile_conf:
         from .features.conf_parser import opensmile_config_from_conf
@@ -38,7 +51,7 @@ def _cmd_extract(args) -> int:
     paths = extract_all_features(
         args.corpus,
         args.out,
-        features=args.features.split(","),
+        features=features,
         skip_existing=not args.force,
         wav2vec2_extractor=extractor,
         opensmile_config=opensmile_config,

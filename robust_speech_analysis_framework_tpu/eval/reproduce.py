@@ -55,14 +55,18 @@ PUBLISHED_CNN_LSTM: Dict[str, dict] = {
     "wav2vec2_cnn_lstm_tuned_combined":     {"f1_macro": (0.779, 0.086), "auc": (0.847, 0.093), "accuracy": (0.781, 0.086)},
 }
 
-# published-table metric → per-fold results_df column
-# (eval.metrics.classification_metrics schema)
-_METRIC_COLUMNS = {"accuracy": "accuracy", "f1_macro": "f1_score", "auc": "auc"}
+# per-fold results_df column spellings per published-table metric (first
+# entry = eval.metrics.classification_metrics schema; the rest cover
+# externally produced pickles)
+_METRIC_FALLBACKS = {
+    "accuracy": ("accuracy",),
+    "f1_macro": ("f1_score", "f1_macro", "f1"),
+    "auc": ("auc", "roc_auc"),
+}
 
 
 def _mean_of(results_df: pd.DataFrame, metric: str) -> float:
-    col = _METRIC_COLUMNS[metric]
-    for candidate in (col, metric, "f1_macro", "roc_auc"):
+    for candidate in _METRIC_FALLBACKS[metric]:
         if candidate in results_df.columns:
             return float(np.nanmean(results_df[candidate].to_numpy(float)))
     return float("nan")
@@ -144,15 +148,22 @@ def run_reproduction(
     next to ``processed_dir`` unless ``out_path`` overrides.
     """
     from ..experiments import (
-        build_sequence_sets,
         extract_all_features,
         run_all_svm_experiments,
         run_cnn_lstm_experiments,
     )
+    from ..features.wav2vec2 import Wav2Vec2Extractor
 
+    if wav2vec2_checkpoint is None:
+        raise ValueError(
+            "run_reproduction needs a pretrained Wav2Vec2 checkpoint "
+            "(--wav2vec2-checkpoint): the reference's published numbers are "
+            "meaningless against random-init embeddings."
+        )
+    extractor = Wav2Vec2Extractor.from_hf_checkpoint(wav2vec2_checkpoint)
     extract_all_features(
         corpus_dir, processed_dir,
-        wav2vec2_checkpoint=wav2vec2_checkpoint, verbose=verbose,
+        wav2vec2_extractor=extractor, verbose=verbose,
     )
     results: Dict[str, Mapping] = {}
     results.update(run_all_svm_experiments(

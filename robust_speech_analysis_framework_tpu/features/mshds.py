@@ -63,10 +63,6 @@ FEATURE_NAMES = [
 
 _TEMPORAL = ["Speaking_Rate", "Articulation_Rate", "Phonation_Ratio",
              "Pause_Rate", "Mean_Pause_Duration"]
-_FORMANT_KEYS = ["mean_F1_Loc", "std_F1_Loc", "mean_B1_Loc", "std_B1_Loc",
-                 "mean_F2_Loc", "std_F2_Loc", "mean_B2_Loc", "std_B2_Loc"]
-_MOMENT_KEYS = ["Spectral_Gravity", "Spectral_Std_Dev", "Spectral_Skewness",
-                "Spectral_Kurtosis"]
 
 
 def _range_from_track(track: PitchTrack):
@@ -473,7 +469,22 @@ def _extract_corpus(
 
     both = pulse_lvl.collect()[k_pulse] if k_pulse is not None else None
     if both is not None:
-        cc_pulses, cpp_pulses = both[:n], both[n:]
+        cc_pulses, cpp_pulses = list(both[:n]), list(both[n:])
+        # per-file host fallback: a transiently failed lane degrades to the
+        # NumPy march instead of NaN-ing every pulse-derived feature
+        for i in range(n):
+            if len(cc_pulses[i]) == 0 and cc_tracks[i] is not None \
+                    and (np.asarray(cc_tracks[i].f0) > 0).any():
+                try:
+                    cc_pulses[i] = point_process_cc(xs[i], sr, cc_tracks[i])
+                except Exception:
+                    pass
+            if len(cpp_pulses[i]) == 0 and cpp_tracks[i] is not None \
+                    and (np.asarray(cpp_tracks[i].f0) > 0).any():
+                try:
+                    cpp_pulses[i] = point_process_cc(xs[i], sr, cpp_tracks[i])
+                except Exception:
+                    pass
     else:  # host path (small corpora) / device-march failure fallback;
         # overlaps the moments/formants programs dispatched above
         cc_pulses = [np.zeros(0)] * n

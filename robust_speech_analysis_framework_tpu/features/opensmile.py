@@ -311,9 +311,8 @@ class OpenSmileExtractor:
         from ..ops.shs_pitch import shs_pitch_batch
 
         cfg = self.config.frontend
-        mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(
-            jnp.asarray(stack)
-        )
+        stack_j = jnp.asarray(stack)  # ONE upload, shared with the march
+        mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(stack_j)
         f0_dev, voicing_dev = shs_pitch_batch(
             mag, cfg.sample_rate, energy, self.config.shs,
             self.config.energy_gate, as_device=True,
@@ -321,7 +320,7 @@ class OpenSmileExtractor:
         nts = [int(v) for v in n_frames_true]
         try:
             march = mark_periods_batch(
-                stack, cfg.sample_rate, f0_dev,
+                stack_j, cfg.sample_rate, f0_dev,
                 [len(x) for _, x in items], nts,
                 hop_s=cfg.hop_seconds,
                 search_range_rel=self.config.jitter_search_range,

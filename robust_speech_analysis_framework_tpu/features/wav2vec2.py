@@ -290,8 +290,10 @@ class Wav2Vec2Extractor:
         return names, chunk_refs, chunks3, lens3, n_chunks
 
     def _drain_sequences(self, item, out_per_chunk, n_chunks):
+        from ..utils.reliability import retry_transient
+
         b0, out = item
-        hidden, out_lens = jax.device_get(out)
+        hidden, out_lens = retry_transient(lambda: jax.device_get(out))
         hidden, out_lens = np.asarray(hidden), np.asarray(out_lens)
         for j in range(hidden.shape[0]):
             i = b0 + j
@@ -416,7 +418,9 @@ class Wav2Vec2Extractor:
                 outs.append(self._forward_pooled(
                     self.params, slab, jnp.asarray(lens3[i])
                 ))
-            fetched = jax.device_get(outs)
+            from ..utils.reliability import retry_transient
+
+            fetched = retry_transient(lambda: jax.device_get(outs))
             for i, (chunk_sums, out_lens) in enumerate(fetched):
                 for j in range(bs):
                     k = i * bs + j

@@ -93,10 +93,19 @@ def _gather_frames_shifted(
     one-hot einsum contractions (dense VPU/MXU work, no gathers).
     Bit-identical to :func:`_gather_frames_xla`.
     """
-    n = starts.shape[0]
     wb = win_len // 32 + 2
     total32 = -(-(x_cat.shape[0] + wb * 32 + 32) // 32) * 32
     x32 = jnp.pad(x_cat, (0, total32 - x_cat.shape[0])).reshape(-1, 32)
+    return rows32_gather(x32, starts, win_len)
+
+
+def rows32_gather(x32: jnp.ndarray, starts: jnp.ndarray, win_len: int):
+    """Core of :func:`_gather_frames_shifted` for callers that hold the
+    (-1, 32)-reshaped waveform already (e.g. loop bodies that must not
+    re-pad per iteration). ``x32`` must extend ≥ win_len//32 + 2 rows past
+    the largest start."""
+    n = starts.shape[0]
+    wb = win_len // 32 + 2
     a = starts // 32
     c = starts % 32
     rows = a[:, None] + jnp.arange(wb)[None, :]

@@ -507,7 +507,7 @@ def pitch_track_batch_shared(
     variant. The MSHDS pipeline uses this to share the autocorrelation
     between its main (voicing 0.45) and CPP (voicing 0.3) passes.
     """
-    from .bucketing import bucket_size_files, pad_frames
+    from .bucketing import pad_frames
 
     params = params_list[0]
     for p in params_list[1:]:

@@ -154,26 +154,6 @@ _W_SEED = 1088  # ≥ 2·sr/f0_min samples (f0_min 30 Hz @ 16 kHz → 1067)
 _W_MARCH = 256  # ≥ 0.45·sr/f0_min + 2
 
 
-def _rows32_gather(x32, starts, win_len: int):
-    """(S,) starts → (S, win_len) windows via 32-sample-row gather +
-    two-stage shift select (same formulation as
-    ops.framing._gather_frames_shifted; a vmapped dynamic_slice would
-    lower to an elementwise gather, which dominates the march loop)."""
-    s = starts.shape[0]
-    wb = win_len // 32 + 2
-    a = starts // 32
-    c = starts % 32
-    rows = a[:, None] + jnp.arange(wb)[None, :]
-    flat = x32[rows].reshape(s, wb * 32)
-    w1 = win_len + 8
-    outs1 = jnp.stack([flat[:, 8 * k : 8 * k + w1] for k in range(4)], 0)
-    oh1 = ((c // 8)[:, None] == jnp.arange(4)[None, :]).astype(flat.dtype)
-    flat2 = jnp.einsum("kNw,Nk->Nw", outs1, oh1)
-    outs2 = jnp.stack([flat2[:, k : k + win_len] for k in range(8)], 0)
-    oh2 = ((c % 8)[:, None] == jnp.arange(8)[None, :]).astype(flat.dtype)
-    return jnp.einsum("kNw,Nk->Nw", outs2, oh2)
-
-
 def _pulses_device_impl(
     x_cat, f0_pad, t0s, nfs,
     base, nx, f0row, seed_a, seed_b, t_start, t_end, direction,
@@ -201,7 +181,9 @@ def _pulses_device_impl(
         return jnp.where((t < t0) | (t > t_last), jnp.nan, val)
 
     # seeds: peak of |x| in the host-precomputed [sa, sb) windows
-    wseed = _rows32_gather(x32, base + seed_a, _W_SEED)
+    from .framing import rows32_gather
+
+    wseed = rows32_gather(x32, base + seed_a, _W_SEED)
     wseed = jnp.where(
         jnp.arange(_W_SEED)[None, :] < (seed_b - seed_a)[:, None],
         jnp.abs(wseed), -1.0,
@@ -244,7 +226,7 @@ def _pulses_device_impl(
             jnp.floor(t_samp - 0.8 * T * sr).astype(jnp.int32) + 1,
         )
         ok &= b > a
-        w = _rows32_gather(x32, base + jnp.maximum(a, 0), _W_MARCH)
+        w = rows32_gather(x32, base + jnp.maximum(a, 0), _W_MARCH)
         w = jnp.where(
             jnp.arange(_W_MARCH)[None, :] <
             jnp.where(ok, b - a, 0)[:, None],

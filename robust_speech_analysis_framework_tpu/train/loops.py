@@ -160,7 +160,14 @@ class Trainer:
         from ..data.batching import pad_batch, length_sorted_batches
 
         logits_out = np.zeros((len(sequences), self.model.num_classes), np.float32)
-        pending = []  # dispatch all batches, fetch once (one device sync)
+        pending = []  # bounded in-flight window: overlap without keeping
+        # every padded batch resident on device at once
+        max_inflight = 16
+
+        def drain(item):
+            idx, out = item
+            logits_out[idx] = np.asarray(jax.device_get(out))
+
         for idx in length_sorted_batches(sequences, cfg.batch_size):
             batch, lengths = pad_batch(
                 [sequences[i] for i in idx], min_bucket=cfg.min_bucket
@@ -169,9 +176,10 @@ class Trainer:
                 state, jnp.asarray(batch), jnp.asarray(lengths),
                 cfg.use_length_masking,
             )))
-        fetched = jax.device_get([p for _, p in pending])
-        for (idx, _), logits in zip(pending, fetched):
-            logits_out[idx] = np.asarray(logits)
+            if len(pending) > max_inflight:
+                drain(pending.pop(0))
+        for item in pending:
+            drain(item)
         return logits_out
 
 
