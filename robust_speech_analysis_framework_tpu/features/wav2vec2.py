@@ -119,18 +119,6 @@ class Wav2Vec2Extractor:
             ).astype(hidden.dtype)
             return jnp.einsum("bth,bt->bh", hidden, mask), out_lens
 
-        def gather_chunks(x_cat, starts, lengths):
-            # Chunk windows materialize ON DEVICE from the uploaded
-            # concatenation. Kept OUT of the encoder programs: x_cat's
-            # bucketed length varies per corpus and would force an encoder
-            # recompile per corpus size; this little gather program is the
-            # only shape-dependent one.
-            from ..ops.framing import gather_frames
-
-            wav = gather_frames(x_cat, starts, self.chunk_size)
-            mask = jnp.arange(self.chunk_size)[None, :] < lengths[:, None]
-            return wav * mask
-
         if mesh is not None:
             # Data-parallel extraction: chunk batches shard over 'dp', the
             # encoder weights shard over 'mp' per the framework rules; XLA
@@ -155,11 +143,9 @@ class Wav2Vec2Extractor:
                 in_shardings=(p_sh, wav_sh, len_sh),
                 out_shardings=(batch_sharding(mesh, ndim=2), len_sh),
             )
-            self._gather_chunks = None  # mesh path batches explicitly
         else:
             self._forward = jax.jit(fwd)
             self._forward_pooled = jax.jit(fwd_pooled)
-            self._gather_chunks = jax.jit(gather_chunks)
 
     @classmethod
     def from_hf_checkpoint(cls, checkpoint_path_or_name: str, **kwargs):
@@ -181,128 +167,10 @@ class Wav2Vec2Extractor:
                 chunks.append(c)
         return chunks
 
-    def _chunk_plan(self, waveforms: Mapping[str, np.ndarray], verbose: bool):
-        """Concatenate the corpus waveforms once and describe every chunk
-        as (absolute start, true length) into the concatenation — chunks
-        overlap 1 s (reference :41-42), so uploading per-chunk copies
-        wastes 25% of the bandwidth the tunnel is short on."""
-        names: List[str] = []
-        chunk_refs: List[_ChunkRef] = []
-        pieces: List[np.ndarray] = []
-        starts: List[int] = []
-        lens: List[int] = []
-        offset = 0
-        for name, wav in waveforms.items():
-            wav = np.asarray(wav, dtype=np.float32).reshape(-1)
-            if len(wav) < self.min_samples:
-                if verbose:
-                    print(f"INFO: skipping very short input '{name}'.")
-                continue
-            file_index = len(names)
-            names.append(name)
-            order = 0
-            for start in range(0, len(wav), self.step_size):
-                n = min(self.chunk_size, len(wav) - start)
-                if n < self.min_samples:
-                    continue
-                chunk_refs.append(_ChunkRef(file_index, order, n))
-                starts.append(offset + start)
-                lens.append(n)
-                order += 1
-            pieces.append(np.pad(wav, (0, self.chunk_size)))
-            offset += len(wav) + self.chunk_size
-        x_cat = (np.concatenate(pieces) if pieces
-                 else np.zeros(0, np.float32))
-        return (names, chunk_refs, x_cat,
-                np.asarray(starts, np.int32), np.asarray(lens, np.int32))
-
     def extract_sequences(
         self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
     ) -> Dict[str, np.ndarray]:
         """{name: 16 kHz mono waveform} → {name: (T, hidden) embeddings}."""
-        if self._gather_chunks is None or self.normalize:
-            # mesh / per-chunk-normalize paths keep explicit chunk batches
-            return self._extract_sequences_batched(waveforms, verbose)
-
-        plan = self._device_chunks(waveforms, verbose)
-        if plan is None:
-            return {}
-        names, chunk_refs, chunks3, lens3, n_chunks = plan
-        bs = self.batch_size
-
-        out_per_chunk: List[Optional[np.ndarray]] = [None] * n_chunks
-        pending = []
-        for i in range(chunks3.shape[0]):
-            # eager slab extraction (tiny per-shape program) keeps the
-            # encoder program itself one-shape
-            slab = jax.lax.dynamic_index_in_dim(
-                chunks3, jnp.int32(i), axis=0, keepdims=False
-            )
-            pending.append((i * bs, self._forward(
-                self.params, slab, jnp.asarray(lens3[i]),
-            )))
-            # fetch behind the dispatch horizon so download overlaps compute
-            if len(pending) > 2:
-                self._drain_sequences(pending.pop(0), out_per_chunk, n_chunks)
-        for item in pending:
-            self._drain_sequences(item, out_per_chunk, n_chunks)
-
-        sequences: Dict[str, List[Tuple[int, np.ndarray]]] = {n: [] for n in names}
-        for ref, emb in zip(chunk_refs, out_per_chunk):
-            sequences[names[ref.file_index]].append((ref.order, emb))
-        return {
-            name: np.vstack([e for _, e in sorted(parts, key=lambda p: p[0])])
-            for name, parts in sequences.items()
-            if parts
-        }
-
-    def _device_chunks(self, waveforms, verbose: bool):
-        """Upload the concatenated corpus once and materialize the (nb, bs,
-        chunk) window stack on device (see gather_chunks). The waveform
-        buffer's length is padded to a bucket so the little gather program
-        compiles O(log corpus) times; the encoder programs stay one-shape.
-        """
-        from ..ops.bucketing import bucket_size
-
-        names, chunk_refs, x_cat, starts, lens = self._chunk_plan(
-            waveforms, verbose
-        )
-        if not names:
-            return None
-        n_chunks = len(chunk_refs)
-        bs = self.batch_size
-        n_pad = -(-n_chunks // bs) * bs
-        starts = np.pad(starts, (0, n_pad - n_chunks))
-        lens_p = np.pad(lens, (0, n_pad - n_chunks),
-                        constant_values=self.min_samples)
-        cat_pad = bucket_size(len(x_cat), min_bucket=1 << 20)
-        x_dev = jnp.asarray(np.pad(x_cat, (0, cat_pad - len(x_cat))))
-        # chunk-count bucket bounds the gather program's start-axis shapes
-        from ..ops.bucketing import pad_frames
-
-        starts_b, _ = pad_frames(starts.astype(np.int32)[:, None])
-        lens_b, _ = pad_frames(lens_p.astype(np.int32)[:, None])
-        gathered = self._gather_chunks(
-            x_dev, jnp.asarray(starts_b[:, 0]), jnp.asarray(lens_b[:, 0])
-        )[:n_pad]
-        chunks3 = gathered.reshape(n_pad // bs, bs, self.chunk_size)
-        lens3 = lens_p.reshape(n_pad // bs, bs)  # host: per-slab uploads
-        return names, chunk_refs, chunks3, lens3, n_chunks
-
-    def _drain_sequences(self, item, out_per_chunk, n_chunks):
-        from ..utils.reliability import retry_transient
-
-        b0, out = item
-        hidden, out_lens = retry_transient(lambda: jax.device_get(out))
-        hidden, out_lens = np.asarray(hidden), np.asarray(out_lens)
-        for j in range(hidden.shape[0]):
-            i = b0 + j
-            if i < n_chunks:
-                out_per_chunk[i] = hidden[j, : out_lens[j]]
-
-    def _extract_sequences_batched(
-        self, waveforms: Mapping[str, np.ndarray], verbose: bool
-    ) -> Dict[str, np.ndarray]:
         names: List[str] = []
         chunk_refs: List[_ChunkRef] = []
         chunk_data: List[np.ndarray] = []
@@ -398,62 +266,31 @@ class Wav2Vec2Extractor:
         every frame of every chunk, duplicates included.
         """
         hdim = self.config.hidden_size
-        if self._gather_chunks is not None and not self.normalize:
-            # waveforms upload once (concatenated, no chunk-overlap
-            # duplication), chunk windows gather on device, every pooled
-            # slab forward dispatches async (one-shape encoder program),
-            # ONE overlapped fetch of the tiny (bs, H) sums at the end
-            plan = self._device_chunks(waveforms, verbose)
-            if plan is None:
-                return pd.DataFrame()
-            names, chunk_refs, chunks3, lens3, n_chunks = plan
-            sums = np.zeros((len(names), hdim), np.float64)
-            counts = np.zeros(len(names), np.int64)
-            bs = self.batch_size
-            outs = []
-            for i in range(chunks3.shape[0]):
-                slab = jax.lax.dynamic_index_in_dim(
-                    chunks3, jnp.int32(i), axis=0, keepdims=False
-                )
-                outs.append(self._forward_pooled(
-                    self.params, slab, jnp.asarray(lens3[i])
-                ))
-            from ..utils.reliability import retry_transient
-
-            fetched = retry_transient(lambda: jax.device_get(outs))
-            for i, (chunk_sums, out_lens) in enumerate(fetched):
-                for j in range(bs):
-                    k = i * bs + j
-                    if k < n_chunks:
-                        ref = chunk_refs[k]
-                        sums[ref.file_index] += np.asarray(chunk_sums)[j]
-                        counts[ref.file_index] += int(out_lens[j])
-        else:
-            names = []
-            chunk_refs = []
-            chunk_data: List[np.ndarray] = []
-            for name, wav in waveforms.items():
-                wav = np.asarray(wav, dtype=np.float32).reshape(-1)
-                if len(wav) < self.min_samples:
-                    if verbose:
-                        print(f"INFO: skipping very short input '{name}'.")
-                    continue
-                file_index = len(names)
-                names.append(name)
-                for order, c in enumerate(self._chunk(wav)):
-                    chunk_refs.append(_ChunkRef(file_index, order, len(c)))
-                    chunk_data.append(c)
-            if not names:
-                return pd.DataFrame()
-            sums = np.zeros((len(names), hdim), np.float64)
-            counts = np.zeros(len(names), np.int64)
-            for sel, chunk_sums, out_lens in self._run_batches(
-                chunk_data, self._forward_pooled
-            ):
-                for j, i in enumerate(sel):
-                    fi = chunk_refs[i].file_index
-                    sums[fi] += chunk_sums[j]
-                    counts[fi] += int(out_lens[j])
+        names: List[str] = []
+        chunk_refs: List[_ChunkRef] = []
+        chunk_data: List[np.ndarray] = []
+        for name, wav in waveforms.items():
+            wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+            if len(wav) < self.min_samples:
+                if verbose:
+                    print(f"INFO: skipping very short input '{name}'.")
+                continue
+            file_index = len(names)
+            names.append(name)
+            for order, c in enumerate(self._chunk(wav)):
+                chunk_refs.append(_ChunkRef(file_index, order, len(c)))
+                chunk_data.append(c)
+        if not names:
+            return pd.DataFrame()
+        sums = np.zeros((len(names), hdim), np.float64)
+        counts = np.zeros(len(names), np.int64)
+        for sel, chunk_sums, out_lens in self._run_batches(
+            chunk_data, self._forward_pooled
+        ):
+            for j, i in enumerate(sel):
+                fi = chunk_refs[i].file_index
+                sums[fi] += chunk_sums[j]
+                counts[fi] += int(out_lens[j])
 
         rows = []
         for fi, name in enumerate(names):
