@@ -1,3 +1,4 @@
+from .reproduce import compare_to_published, run_reproduction
 from .splits import StratifiedKFold, train_test_indices
 from .metrics import (
     accuracy_score,
@@ -9,6 +10,8 @@ from .metrics import (
 )
 
 __all__ = [
+    "compare_to_published",
+    "run_reproduction",
     "StratifiedKFold",
     "train_test_indices",
     "accuracy_score",

@@ -93,3 +93,25 @@ def test_initialize_distributed_noop(monkeypatch):
 def test_shard_file_list_single_process():
     paths = [f"f{i}" for i in range(10)]
     assert shard_file_list(paths) == paths
+
+
+def test_extract_fails_fast_without_wav2vec2_checkpoint(tmp_path, capsys):
+    """`cli extract` with wav2vec2 in --features and no checkpoint must
+    error out BEFORE running the (minutes-long) mshds/opensmile stages."""
+    from robust_speech_analysis_framework_tpu import cli
+
+    rc = cli.main([
+        "extract", "--corpus", str(tmp_path), "--out", str(tmp_path / "o"),
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "wav2vec2-checkpoint" in err
+
+
+def test_reproduce_requires_checkpoint(tmp_path):
+    from robust_speech_analysis_framework_tpu.eval.reproduce import (
+        run_reproduction,
+    )
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_reproduction(str(tmp_path), str(tmp_path / "p"))
