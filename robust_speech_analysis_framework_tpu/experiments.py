@@ -65,6 +65,15 @@ def extract_all_features(
     """
     from .utils.profiling import ThroughputMeter, stage_timer
 
+    features = list(features)
+    if "wav2vec2" in features and wav2vec2_extractor is None:
+        # fail fast (VERDICT r1 item 2): the fallback construction below
+        # would otherwise raise the random-weights guard only after the
+        # mshds/opensmile stages spent minutes extracting
+        from .features.wav2vec2 import Wav2Vec2Extractor as _W
+
+        wav2vec2_extractor = _W()  # raises with the full guidance message
+
     os.makedirs(out_dir, exist_ok=True)
     reading_df, interview_df = load_androids_corpus(corpus_dir, verbose=verbose)
     paths: Dict[str, str] = {}
