@@ -68,8 +68,36 @@ class Wav2Vec2Extractor:
         seed: int = 0,
         mesh=None,
         allow_random_init: bool = False,
+        compute_dtype: Optional[str] = None,
+        sequence_transfer_dtype=np.float32,
+        upload_dtype=np.float32,
     ):
+        # compute_dtype overrides the config's ("float32" keeps strict HF
+        # parity; "bfloat16" runs matmuls/convs in bf16 — norms/softmax stay
+        # f32 — at ~1e-3 output perturbation). sequence_transfer_dtype only
+        # affects the device→host stream of (T, 768) sequences, which is the
+        # throughput cap on bandwidth-limited links (153 KB per audio-second
+        # in f32); np.float16 halves it at ~5e-4 rounding of unit-scale
+        # activations. Mean-pooled embeddings always come back in f32.
+        if compute_dtype is not None and compute_dtype != config.compute_dtype:
+            import dataclasses as _dc
+
+            config = _dc.replace(config, compute_dtype=compute_dtype)
         self.config = config
+        self.sequence_transfer_dtype = np.dtype(sequence_transfer_dtype)
+        # upload_dtype shrinks the host→device waveform stream (64 KB per
+        # audio-second in f32). np.int16 halves it and is bit-exact for
+        # waveforms that came from 16-bit PCM via audio.io (x/32768 lattice);
+        # resampled audio quantizes at ≤1.5e-5 of full scale. Incompatible
+        # with normalize=True (normalized samples exceed [-1, 1)).
+        self.upload_dtype = np.dtype(upload_dtype)
+        if self.upload_dtype == np.int16 and normalize:
+            raise ValueError(
+                "upload_dtype=int16 requires normalize=False: per-utterance "
+                "normalized samples are not confined to [-1, 1)."
+            )
+        if self.upload_dtype not in (np.dtype(np.float32), np.dtype(np.int16)):
+            raise ValueError(f"unsupported upload_dtype {self.upload_dtype}")
         self.model = Wav2Vec2Model(config)
         self.chunk_size = int(SAMPLE_RATE * chunk_seconds)
         self.step_size = int(SAMPLE_RATE * (chunk_seconds - overlap_seconds))
@@ -106,9 +134,19 @@ class Wav2Vec2Extractor:
         self.params = params
         self.mesh = mesh
 
-        fwd = lambda p, wav, lengths: self.model.apply(p, wav, lengths=lengths)
+        seq_dt = jnp.dtype(self.sequence_transfer_dtype)
+        dequant = self.upload_dtype == np.int16
+
+        def _dec(wav):
+            # inverse of audio.io's x = pcm / 32768 lattice
+            return wav.astype(jnp.float32) * (1.0 / 32768.0) if dequant else wav
+
+        def fwd(p, wav, lengths):
+            hidden, out_lens = self.model.apply(p, _dec(wav), lengths=lengths)
+            return hidden.astype(seq_dt), out_lens
 
         def fwd_pooled(p, wav, lengths):
+            wav = _dec(wav)
             # Masked per-chunk SUM over valid frames + frame count, on
             # device: the mean-pool path (extract_embeddings) then only
             # transfers (B, H) + (B,) back instead of (B, T, H) — the
@@ -200,7 +238,11 @@ class Wav2Vec2Extractor:
         for ref, emb in zip(chunk_refs, out_per_chunk):
             sequences[names[ref.file_index]].append((ref.order, emb))
         return {
-            name: np.vstack([e for _, e in sorted(parts, key=lambda p: p[0])])
+            # sequences are handed out as f32 regardless of the transfer
+            # dtype (reference artifact schema: float32 (T, 768) arrays)
+            name: np.vstack(
+                [e for _, e in sorted(parts, key=lambda p: p[0])]
+            ).astype(np.float32, copy=False)
             for name, parts in sequences.items()
             if parts
         }
@@ -222,14 +264,20 @@ class Wav2Vec2Extractor:
         # Sort by length so full chunks batch together (cheap; one shape).
         order_idx = sorted(range(len(chunk_data)), key=lambda i: -len(chunk_data[i]))
 
+        quantize = self.upload_dtype == np.int16
+
         def dispatch(start):
             sel = order_idx[start : start + bs]
-            batch = np.zeros((len(sel), self.chunk_size), np.float32)
+            batch = np.zeros((len(sel), self.chunk_size), self.upload_dtype)
             lengths = np.zeros(len(sel), np.int32)
             for j, i in enumerate(sel):
                 c = chunk_data[i]
                 if self.normalize:
                     c = (c - c.mean()) / np.sqrt(c.var() + 1e-7)
+                if quantize:
+                    c = np.clip(
+                        np.round(c * 32768.0), -32768, 32767
+                    ).astype(np.int16)
                 batch[j, : len(c)] = c
                 lengths[j] = len(c)
             if len(sel) < bs:  # keep one compiled shape

@@ -46,6 +46,15 @@ class Wav2Vec2Config:
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
     layer_norm_eps: float = 1e-5
+    # Computation dtype for matmuls/convs ("float32" or "bfloat16").
+    # Params, norms, softmax and residual adds stay float32 either way;
+    # bfloat16 halves activation HBM traffic on the MXU-heavy path at
+    # ~1e-3-level output perturbation (see tests/test_wav2vec2.py).
+    compute_dtype: str = "float32"
+
+    @property
+    def cdtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     def output_length(self, n_samples) -> Any:
         """Conv-stack output frames for an input of ``n_samples`` samples."""
@@ -92,17 +101,21 @@ class FeatureEncoder(nn.Module):
         ):
             h = nn.Conv(
                 dim, (k,), strides=(s,), padding="VALID", use_bias=False,
-                name=f"conv_{i}",
+                name=f"conv_{i}", dtype=cfg.cdtype,
             )(h)
             if cur_lengths is not None:
                 cur_lengths = (cur_lengths - k) // s + 1
             if i == 0:
-                h = _masked_channel_norm(h, cur_lengths, cfg.layer_norm_eps)
+                # Channel norm in float32: bf16 mean/var over ~16k frames
+                # would lose the small-variance channels.
+                h = _masked_channel_norm(
+                    h.astype(jnp.float32), cur_lengths, cfg.layer_norm_eps
+                )
                 scale = self.param("gn_scale", nn.initializers.ones, (dim,))
                 bias = self.param("gn_bias", nn.initializers.zeros, (dim,))
                 h = h * scale + bias
             h = nn.gelu(h, approximate=False)
-        return h, cur_lengths
+        return h.astype(jnp.float32), cur_lengths
 
 
 class FeatureProjection(nn.Module):
@@ -112,7 +125,9 @@ class FeatureProjection(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm")(x)
-        return nn.Dense(cfg.hidden_size, name="projection")(x)
+        return nn.Dense(
+            cfg.hidden_size, name="projection", dtype=cfg.cdtype
+        )(x).astype(jnp.float32)
 
 
 class PositionalConvEmbedding(nn.Module):
@@ -131,7 +146,8 @@ class PositionalConvEmbedding(nn.Module):
             padding=[(pad, pad)],
             feature_group_count=cfg.pos_conv_groups,
             name="conv",
-        )(x)
+            dtype=cfg.cdtype,
+        )(x).astype(jnp.float32)
         # Even kernel + symmetric padding yields one extra frame; torch drops
         # the trailing one.
         h = h[:, : x.shape[1], :]
@@ -151,26 +167,31 @@ class EncoderLayer(nn.Module):
         d = cfg.hidden_size
         h = cfg.num_heads
         head_dim = d // h
+        cdt = cfg.cdtype
 
-        q = nn.Dense(d, name="q")(x)
-        k = nn.Dense(d, name="k")(x)
-        v = nn.Dense(d, name="v")(x)
+        q = nn.Dense(d, name="q", dtype=cdt)(x)
+        k = nn.Dense(d, name="k", dtype=cdt)(x)
+        v = nn.Dense(d, name="v", dtype=cdt)(x)
 
         b, t, _ = x.shape
-        q = q.reshape(b, t, h, head_dim) * (head_dim**-0.5)
+        q = q.reshape(b, t, h, head_dim) * jnp.asarray(head_dim**-0.5, cdt)
         k = k.reshape(b, t, h, head_dim)
         v = v.reshape(b, t, h, head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        # Softmax in float32 regardless of compute dtype (bf16 exp/normalize
+        # over 249 keys loses ~2 decimal digits of attention mass).
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         if attn_bias is not None:
             scores = scores + attn_bias
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
-        ctx = nn.Dense(d, name="out")(ctx)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(cdt), v
+        ).reshape(b, t, d)
+        ctx = nn.Dense(d, name="out", dtype=cdt)(ctx).astype(jnp.float32)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_norm")(x + ctx)
-        ff = nn.Dense(cfg.intermediate_size, name="ff1")(x)
+        ff = nn.Dense(cfg.intermediate_size, name="ff1", dtype=cdt)(x)
         ff = nn.gelu(ff, approximate=False)
-        ff = nn.Dense(d, name="ff2")(ff)
+        ff = nn.Dense(d, name="ff2", dtype=cdt)(ff).astype(jnp.float32)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ff_norm")(x + ff)
 
 

@@ -169,6 +169,63 @@ def test_sharded_extraction_matches_unsharded():
         np.testing.assert_allclose(out_sharded[k], out_base[k], atol=2e-4)
 
 
+def test_int16_upload_is_lossless_on_pcm_lattice():
+    """upload_dtype=int16 must be bit-exact for waveforms on the x/32768
+    PCM lattice (what audio.io.load_mono_16k produces for un-resampled
+    16-bit WAVs): the dequantized device waveform equals the f32 one."""
+    cfg = Wav2Vec2Config(num_layers=2)
+    rng = np.random.default_rng(11)
+    sr = 16000
+    waves = {
+        "a.wav": (rng.integers(-20000, 20000, size=sr) / 32768.0).astype(
+            np.float32
+        )
+    }
+    base = Wav2Vec2Extractor(config=cfg, batch_size=4, allow_random_init=True)
+    quant = Wav2Vec2Extractor(
+        params=base.params, config=cfg, batch_size=4, upload_dtype=np.int16
+    )
+    a = base.extract_sequences(waves, verbose=False)["a.wav"]
+    b = quant.extract_sequences(waves, verbose=False)["a.wav"]
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="normalize"):
+        Wav2Vec2Extractor(
+            params=base.params, config=cfg, upload_dtype=np.int16,
+            normalize=True,
+        )
+
+
+def test_reduced_precision_fast_path_close_to_f32():
+    """bf16 compute + f16 sequence download: output is still handed out as
+    f32 and stays within ~1e-2 cosine distance of the strict path."""
+    cfg = Wav2Vec2Config(num_layers=2)
+    rng = np.random.default_rng(12)
+    sr = 16000
+    waves = {"a.wav": rng.normal(size=sr).astype(np.float32) * 0.1}
+    base = Wav2Vec2Extractor(config=cfg, batch_size=4, allow_random_init=True)
+    fast = Wav2Vec2Extractor(
+        params=base.params, config=cfg, batch_size=4,
+        compute_dtype="bfloat16", sequence_transfer_dtype=np.float16,
+        upload_dtype=np.int16,
+    )
+    assert fast.config.compute_dtype == "bfloat16"
+    a = base.extract_sequences(waves, verbose=False)["a.wav"]
+    b = fast.extract_sequences(waves, verbose=False)["a.wav"]
+    assert b.dtype == np.float32
+    assert a.shape == b.shape
+    cos = float(
+        (a * b).sum()
+        / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    )
+    assert cos > 0.99, cos
+    # pooled-embedding path under the same options
+    df = fast.extract_embeddings(waves, verbose=False)
+    ref = base.extract_embeddings(waves, verbose=False)
+    ours = df[[f"dim_{k}" for k in range(768)]].to_numpy()
+    theirs = ref[[f"dim_{k}" for k in range(768)]].to_numpy()
+    np.testing.assert_allclose(ours, theirs, atol=0.05, rtol=0.05)
+
+
 def test_random_init_guard():
     """No-weights construction refuses; explicit opt-in warns and marks
     .pretrained False (VERDICT r1: the reference always runs pretrained
