@@ -20,16 +20,35 @@ import json
 import sys
 
 
+def _w2v2_precision_kwargs(precision: str) -> dict:
+    """'strict' = f32 end to end (HF parity); 'fast' = int16 waveform
+    upload + bf16 matmuls + f16 sequence download (cosine >0.9999 vs
+    strict, ~2x throughput on bandwidth-limited links)."""
+    if precision == "fast":
+        import numpy as np
+
+        return {
+            "batch_size": 64,
+            "compute_dtype": "bfloat16",
+            "sequence_transfer_dtype": np.float16,
+            "upload_dtype": np.int16,
+        }
+    return {}
+
+
 def _cmd_extract(args) -> int:
     from .experiments import extract_all_features
     from .features.wav2vec2 import Wav2Vec2Extractor
 
     features = args.features.split(",")
     extractor = None
+    w2v2_kw = _w2v2_precision_kwargs(args.wav2vec2_precision)
     if args.wav2vec2_checkpoint:
-        extractor = Wav2Vec2Extractor.from_hf_checkpoint(args.wav2vec2_checkpoint)
+        extractor = Wav2Vec2Extractor.from_hf_checkpoint(
+            args.wav2vec2_checkpoint, **w2v2_kw
+        )
     elif args.allow_random_wav2vec2:
-        extractor = Wav2Vec2Extractor(allow_random_init=True)
+        extractor = Wav2Vec2Extractor(allow_random_init=True, **w2v2_kw)
     elif "wav2vec2" in features:
         # fail fast: otherwise the mshds/opensmile stages run for minutes
         # before the wav2vec2 stage hits the random-weights guard
@@ -108,7 +127,10 @@ def _cmd_predict(args) -> int:
 
     extractor = None
     if args.wav2vec2_checkpoint:
-        extractor = Wav2Vec2Extractor.from_hf_checkpoint(args.wav2vec2_checkpoint)
+        extractor = Wav2Vec2Extractor.from_hf_checkpoint(
+            args.wav2vec2_checkpoint,
+            **_w2v2_precision_kwargs(args.wav2vec2_precision),
+        )
     if args.reference_format:
         predictor = Predictor.from_reference_checkpoint(args.model, extractor)
     else:
@@ -170,6 +192,13 @@ def main(argv=None) -> int:
         help="openSMILE .conf file (Androids.conf subset) configuring the "
              "911-feature extractor declaratively",
     )
+    p.add_argument(
+        "--wav2vec2-precision", choices=("strict", "fast"), default="strict",
+        help="'strict' (default) is f32 end to end; 'fast' uses int16 "
+             "waveform upload + bf16 matmuls + f16 sequence download "
+             "(cosine >0.9999 vs strict, ~2x throughput on "
+             "bandwidth-limited hosts)",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=_cmd_extract)
@@ -198,6 +227,8 @@ def main(argv=None) -> int:
     p.add_argument("--reference-format", action="store_true",
                    help="load a reference torch .pt checkpoint")
     p.add_argument("--wav2vec2-checkpoint", default=None)
+    p.add_argument("--wav2vec2-precision", choices=("strict", "fast"),
+                   default="strict")
     p.set_defaults(fn=_cmd_predict)
 
     p = sub.add_parser(

@@ -375,6 +375,8 @@ def extract_wav2vec2_sequences(
     **extractor_kwargs,
 ) -> Dict[str, np.ndarray]:
     """DataFrame-of-filepaths front door (reference API shape, :37-64)."""
+    if input_df.empty:  # e.g. a corpus with no Interview-Task directory
+        return {}
     extractor = extractor or Wav2Vec2Extractor(**extractor_kwargs)
     waveforms = _load_waveforms(input_df, audio_file_column, verbose)
     return extractor.extract_sequences(waveforms, verbose=verbose)
@@ -387,6 +389,8 @@ def extract_wav2vec2_embeddings(
     verbose: bool = True,
     **extractor_kwargs,
 ) -> pd.DataFrame:
+    if input_df.empty:
+        return pd.DataFrame()
     extractor = extractor or Wav2Vec2Extractor(**extractor_kwargs)
     waveforms = _load_waveforms(input_df, audio_file_column, verbose)
     return extractor.extract_embeddings(waveforms, verbose=verbose)

@@ -115,3 +115,17 @@ def test_reproduce_requires_checkpoint(tmp_path):
 
     with pytest.raises(ValueError, match="checkpoint"):
         run_reproduction(str(tmp_path), str(tmp_path / "p"))
+
+
+def test_w2v2_precision_kwargs_mapping():
+    """--wav2vec2-precision fast maps to the reduced-transfer extractor
+    options; strict maps to none (f32 end to end)."""
+    import numpy as np
+
+    from robust_speech_analysis_framework_tpu.cli import _w2v2_precision_kwargs
+
+    assert _w2v2_precision_kwargs("strict") == {}
+    kw = _w2v2_precision_kwargs("fast")
+    assert kw["compute_dtype"] == "bfloat16"
+    assert kw["sequence_transfer_dtype"] is np.float16
+    assert kw["upload_dtype"] is np.int16

@@ -237,3 +237,20 @@ def test_random_init_guard():
             config=Wav2Vec2Config(num_layers=2), allow_random_init=True
         )
     assert ex.pretrained is False
+
+
+def test_front_doors_handle_empty_dataframe():
+    """A corpus with no Interview-Task yields an EMPTY (column-less)
+    DataFrame; the front doors must return empty results instead of
+    KeyError'ing on the missing filepath column (experiments.py runs them
+    on interview_df unconditionally)."""
+    import pandas as pd
+
+    from robust_speech_analysis_framework_tpu.features.wav2vec2 import (
+        extract_wav2vec2_embeddings,
+        extract_wav2vec2_sequences,
+    )
+
+    empty = pd.DataFrame()
+    assert extract_wav2vec2_sequences(empty) == {}
+    assert extract_wav2vec2_embeddings(empty).empty
