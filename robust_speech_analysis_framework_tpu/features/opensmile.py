@@ -297,17 +297,15 @@ class OpenSmileExtractor:
         """One bucket group through all stages -> list of row dicts.
 
         Device-resident pipeline: framing/MFCC/spectral LLDs, SHS+Viterbi
-        pitch and the jitter period march chain ON DEVICE with no
-        intermediate host round trip (the march consumes the device F0
-        directly). ONE fetch brings back the period tracks + F0; the host
-        converts periods to the 4 voice-quality LLD columns (vectorized
-        prefix sums), uploads just that (B, T, 4) block, and the LLD
-        concatenation + smoothing + deltas + functionals run as one more
-        device program. Idempotent (safe to retry on transient errors).
+        pitch, the jitter period march AND the period→LLD prefix-sum
+        conversion all chain ON DEVICE with no intermediate host round
+        trip, so the whole bucket is one dispatch chain with a single
+        fetch of the (B, 12, 38)×2 functional blocks at the end.
+        Idempotent (safe to retry on transient errors).
         """
         import jax
 
-        from ..ops.jitter import mark_periods_batch, periods_to_llds
+        from ..ops.jitter import mark_periods_batch, periods_to_llds_batch
         from ..ops.shs_pitch import shs_pitch_batch
 
         cfg = self.config.frontend
@@ -326,36 +324,28 @@ class OpenSmileExtractor:
                 search_range_rel=self.config.jitter_search_range,
                 defer=True,
             )
+            vq_dev = periods_to_llds_batch(
+                march.arrays, f0_dev, cfg.sample_rate,
+                hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
+            )
         except Exception:
-            march = None
-
-        if march is not None:
-            march_host, f0 = jax.device_get([march.arrays, f0_dev])
-            period_tracks = march.finalize(march_host)
-        else:
+            # oracle fallback: host NumPy march + prefix sums
             f0 = np.asarray(f0_dev)
-            period_tracks = None
-
-        t_pad = f0.shape[1]
-        vq = np.zeros((len(items), t_pad, 4), np.float32)
-        for i, (name, x) in enumerate(items):
-            nt = nts[i]
-            if period_tracks is not None:
-                v = periods_to_llds(
-                    period_tracks[i], f0[i, :nt], cfg.sample_rate,
-                    hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
-                )
-            else:  # oracle fallback: host NumPy march
+            t_pad = f0.shape[1]
+            vq = np.zeros((len(items), t_pad, 4), np.float32)
+            for i, (name, x) in enumerate(items):
+                nt = nts[i]
                 v = jitter_shimmer_llds(
                     x.astype(np.float64), cfg.sample_rate, f0[i, :nt],
                     hop_s=cfg.hop_seconds, frame_s=cfg.frame_seconds,
                     search_range_rel=self.config.jitter_search_range,
                 )
-            vq[i, :nt] = v[:nt]
+                vq[i, :nt] = v[:nt]
+            vq_dev = jnp.asarray(vq)
 
         f_sma, f_de = self._assemble_summary(
             energy, mfcc, zcr, f0_dev, voicing_dev, inten,
-            jnp.asarray(vq), spect,
+            vq_dev, spect,
             jnp.asarray(np.asarray(nts, np.int32)),
         )
         f_sma, f_de = (np.asarray(a) for a in jax.device_get([f_sma, f_de]))

@@ -315,6 +315,97 @@ def periods_to_llds(
     return np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+@partial(jax.jit, static_argnames=("sr", "hop_s", "frame_s"))
+def _periods_to_llds_device(starts, lengths, amps, corrs, counts, f0_pad,
+                            *, sr, hop_s, frame_s):
+    """Device translation of :func:`periods_to_llds` over a whole bucket.
+
+    Inputs are the padded (B, P) period buffers + (B,) counts that
+    :func:`mark_periods_batch` leaves on device, plus the padded (B, T)
+    F0 contours. Keeping this stage on device removes the only mid-bucket
+    host synchronization in the openSMILE batch pipeline (march download →
+    host prefix sums → vq re-upload); the whole LLD chain then runs as one
+    dispatch with a single functional fetch at the end. f32 vs the host
+    oracle's f64 costs ~1e-5 relative on the vq family — well inside the
+    5e-2 envelope the batched-vs-serial test grants it.
+    """
+
+    def one(starts, lengths, amps, corrs, k, f0):
+        P = starts.shape[0]
+        n_frames = f0.shape[0]
+        idx = jnp.arange(P)
+        valid = idx < k
+        centers = jnp.where(valid, (starts + lengths / 2.0) / sr, jnp.inf)
+        T = jnp.where(valid, lengths / sr, 0.0)
+        A = jnp.where(valid, amps, 0.0)
+        rho = jnp.clip(jnp.where(valid, corrs, 0.0), 0.0, 0.999999)
+        dT = jnp.where(idx[:-1] < k - 1, jnp.abs(jnp.diff(T)), 0.0)
+        ddT = jnp.where(idx[:-2] < k - 2, jnp.abs(jnp.diff(T, n=2)), 0.0)
+        dA = jnp.where(idx[:-1] < k - 1, jnp.abs(jnp.diff(A)), 0.0)
+
+        half = frame_s / 2
+        t_c = jnp.arange(n_frames) * hop_s + half
+        i0 = jnp.searchsorted(centers, t_c - half, side="left")
+        i1 = jnp.searchsorted(centers, t_c + half, side="right") - 1
+        cnt = i1 - i0 + 1
+        ok = (cnt >= 2) & (f0 > 0)
+        last = jnp.maximum(k - 1, 0)
+        i0c = jnp.clip(i0, 0, last)
+        i1c = jnp.clip(i1, 0, last)
+
+        def cum(v):
+            return jnp.concatenate([jnp.zeros(1, v.dtype), jnp.cumsum(v)])
+
+        cT, cA = cum(T), cum(A)
+        # accumulate rho−1 instead of rho: segment means of values ≈1 lose
+        # the (1−rho) information to f32 cumsum rounding, and logHNR =
+        # ln(rho/(1−rho)) amplifies exactly that loss
+        cRm = cum(jnp.where(valid, rho - 1.0, 0.0))
+        cdT, cddT, cdA = cum(dT), cum(ddT), cum(dA)
+        cntf = jnp.maximum(cnt, 1).astype(jnp.float32)
+        mean_t = (cT[i1c + 1] - cT[i0c]) / cntf
+        mean_a = jnp.maximum((cA[i1c + 1] - cA[i0c]) / cntf, 1e-12)
+        n_d = i1c - i0c
+        has_d = ok & (n_d > 0) & (mean_t > 0)
+        # host analogue indexes cdT of length k (= (k-1) diffs + lead 0)
+        j0 = jnp.minimum(i0c, last)
+        j1 = jnp.minimum(i1c, last)
+        nd = jnp.maximum(n_d, 1).astype(jnp.float32)
+        out0 = jnp.where(has_d, (cdT[j1] - cdT[j0]) / nd / mean_t, 0.0)
+        out2 = jnp.where(has_d, (cdA[j1] - cdA[j0]) / nd / mean_a, 0.0)
+        n_dd = i1c - 1 - i0c
+        has_dd = ok & (n_dd > 0) & (mean_t > 0)
+        last2 = jnp.maximum(k - 2, 0)
+        k0 = jnp.minimum(i0c, last2)
+        k1 = jnp.clip(i1c - 1, 0, last2)
+        ndd = jnp.maximum(n_dd, 1).astype(jnp.float32)
+        out1 = jnp.where(has_dd, (cddT[k1] - cddT[k0]) / ndd / mean_t, 0.0)
+        one_minus_r = -(cRm[i1c + 1] - cRm[i0c]) / cntf
+        r = 1.0 - one_minus_r
+        out3 = jnp.where(
+            ok & (r > 0), jnp.log(r / jnp.maximum(one_minus_r, 1e-9)), 0.0
+        )
+        out = jnp.stack([out0, out1, out2, out3], axis=-1)
+        out = jnp.where((ok & (k >= 3))[:, None], out, 0.0)
+        return jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+    return jax.vmap(one)(
+        starts.astype(jnp.float32), lengths.astype(jnp.float32),
+        amps, corrs, counts, f0_pad,
+    )
+
+
+def periods_to_llds_batch(march_arrays, f0_pad, sr,
+                          hop_s: float = 0.010, frame_s: float = 0.025):
+    """(starts, lengths, amps, corrs, counts) device buffers + (B, T) F0 →
+    device (B, T, 4) [jitterLocal, jitterDDP, shimmerLocal, logHNR]."""
+    starts, lengths, amps, corrs, counts = march_arrays
+    return _periods_to_llds_device(
+        starts, lengths, amps, corrs, counts, jnp.asarray(f0_pad),
+        sr=float(sr), hop_s=float(hop_s), frame_s=float(frame_s),
+    )
+
+
 def jitter_shimmer_llds(
     x: np.ndarray,
     sr: float,
