@@ -253,11 +253,16 @@ class OpenSmileExtractor:
         group stacked and pushed through vmapped stages as ONE program per
         bucket shape (the TPU-native replacement for the reference's
         one-subprocess-per-file loop, src/opensmile_extractor.py:54-75).
-        Only the sequential jitter period-marching stays per-file on host.
+
+        Buckets are pipelined: up to ``max_inflight`` bucket chains are
+        dispatched ahead of the oldest fetch, so bucket k+1's upload and
+        device programs overlap bucket k's functional download — on a
+        high-RTT link the per-bucket round trip would otherwise serialize
+        a ragged corpus (real corpora spread over many length buckets).
         """
         from ..audio.frontend import num_frames
-        from ..ops.bucketing import bucket_size, pad_frames
-        from ..ops.shs_pitch import shs_pitch_batch
+        from ..ops.bucketing import bucket_size
+        from ..utils.reliability import retry_transient
 
         cfg = self.config.frontend
         cols = feature_columns(self.config.reference_compat)
@@ -268,10 +273,7 @@ class OpenSmileExtractor:
             b = bucket_size(len(x), min_bucket=cfg.sample_rate // 2)
             groups.setdefault(b, []).append((name, x))
 
-        from ..utils.reliability import retry_transient
-
-        rows = []
-        for bucket, items in sorted(groups.items()):
+        def prepare(bucket, items):
             names = [n for n, _ in items]
             stack = np.zeros((len(items), bucket), np.float32)
             n_frames_true = np.zeros(len(items), np.int64)
@@ -279,28 +281,61 @@ class OpenSmileExtractor:
                 stack[i, : len(x)] = x
                 n_frames_true[i] = num_frames(len(x), cfg.frame_len, cfg.hop)
             try:
-                rows.extend(
-                    retry_transient(
-                        lambda: self._process_bucket(
-                            items, names, stack, n_frames_true, cols
+                devs = self._dispatch_bucket(items, names, stack, n_frames_true)
+            except Exception:
+                devs = None  # fall through to the synchronous retry path
+            return bucket, items, names, stack, n_frames_true, devs
+
+        rows = []
+        max_inflight = 3
+        pending: List = []
+
+        def finalize(entry):
+            bucket, items, names, stack, n_frames_true, devs = entry
+            try:
+                if devs is None:
+                    raise RuntimeError("bucket dispatch failed")
+                f_sma, f_de = (np.asarray(a) for a in jax.device_get(devs))
+            except Exception:
+                # transient device failure: re-run this bucket synchronously
+                f_sma, f_de = retry_transient(
+                    lambda: tuple(
+                        np.asarray(a) for a in jax.device_get(
+                            self._dispatch_bucket(
+                                items, names, stack, n_frames_true
+                            )
                         )
                     )
                 )
+            return self._rows_from_functionals(names, f_sma, f_de, cols)
+
+        for bucket, items in sorted(groups.items()):
+            pending.append(prepare(bucket, items))
+            if len(pending) > max_inflight:
+                entry = pending.pop(0)
+                try:
+                    rows.extend(finalize(entry))
+                except Exception as e:
+                    if verbose:
+                        print(f"ERROR: batch bucket {entry[0]} failed: {e}")
+        for entry in pending:
+            try:
+                rows.extend(finalize(entry))
             except Exception as e:
                 if verbose:
-                    print(f"ERROR: batch bucket {bucket} failed: {e}")
+                    print(f"ERROR: batch bucket {entry[0]} failed: {e}")
         if not rows:
             return pd.DataFrame()
         return pd.DataFrame(rows)
 
-    def _process_bucket(self, items, names, stack, n_frames_true, cols):
-        """One bucket group through all stages -> list of row dicts.
+    def _dispatch_bucket(self, items, names, stack, n_frames_true):
+        """One bucket group through all device stages -> device functionals.
 
         Device-resident pipeline: framing/MFCC/spectral LLDs, SHS+Viterbi
         pitch, the jitter period march AND the period→LLD prefix-sum
         conversion all chain ON DEVICE with no intermediate host round
-        trip, so the whole bucket is one dispatch chain with a single
-        fetch of the (B, 12, 38)×2 functional blocks at the end.
+        trip, so the whole bucket is one dispatch chain; the caller fetches
+        the returned (B, 12, 38)×2 functional blocks when ready.
         Idempotent (safe to retry on transient errors).
         """
         import jax
@@ -343,12 +378,13 @@ class OpenSmileExtractor:
                 vq[i, :nt] = v[:nt]
             vq_dev = jnp.asarray(vq)
 
-        f_sma, f_de = self._assemble_summary(
+        return self._assemble_summary(
             energy, mfcc, zcr, f0_dev, voicing_dev, inten,
             vq_dev, spect,
             jnp.asarray(np.asarray(nts, np.int32)),
         )
-        f_sma, f_de = (np.asarray(a) for a in jax.device_get([f_sma, f_de]))
+
+    def _rows_from_functionals(self, names, f_sma, f_de, cols):
         rows = []
         for i, name in enumerate(names):
             vec = np.concatenate([f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)])

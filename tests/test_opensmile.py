@@ -283,3 +283,23 @@ def test_device_periods_to_llds_matches_host_prefix_sums():
         # everywhere else and rarity of tie flips
         assert np.nanmedian(rel) < 1e-4, np.nanmedian(rel)
         assert np.mean(np.nan_to_num(rel) > 1e-2) < 0.02, np.mean(rel > 1e-2)
+
+
+def test_pipelined_buckets_match_serial_across_many_buckets():
+    """extract_batch keeps up to 3 bucket chains in flight; with > 4 length
+    buckets the window wraps. Every file must still come back, matching the
+    serial path."""
+    ex = OpenSmileExtractor()
+    waves = {
+        f"p{i}.wav": _voiced_pulsed(0.8 + 0.55 * i, 115 + 12 * i)
+        for i in range(6)
+    }
+    dfb = ex.extract_batch(waves, verbose=False)
+    assert sorted(dfb["filename"]) == sorted(waves)
+    dfs = ex.extract(waves, batched=False, verbose=False)
+    cols = feature_columns()
+    a = dfb.set_index("filename").loc[sorted(waves)][cols].to_numpy()
+    b = dfs.set_index("filename").loc[sorted(waves)][cols].to_numpy()
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-3)
+    assert np.nanmedian(rel) < 1e-5
+    assert np.nanmean(rel) < 5e-2
