@@ -153,13 +153,19 @@ def extract_all_features(
         p, cached = artifact("sequences_wav2vec2_reading.pkl")
         if not cached:
             with stage_timer(meter, "wav2vec2/reading", items=len(reading_df)):
-                seqs = extract_wav2vec2_sequences(reading_df, extractor=ex, verbose=verbose)
+                seqs = extract_wav2vec2_sequences(
+                    reading_df, extractor=ex, verbose=verbose,
+                    waveforms=_decoded(reading_df),
+                )
             with open(p, "wb") as fh:
                 pickle.dump(seqs, fh)
         p, cached = artifact("sequences_wav2vec2_interview.pkl")
         if not cached:
             with stage_timer(meter, "wav2vec2/interview", items=len(interview_df)):
-                seqs = extract_wav2vec2_sequences(interview_df, extractor=ex, verbose=verbose)
+                seqs = extract_wav2vec2_sequences(
+                    interview_df, extractor=ex, verbose=verbose,
+                    waveforms=_decoded(interview_df),
+                )
             with open(p, "wb") as fh:
                 pickle.dump(seqs, fh)
 

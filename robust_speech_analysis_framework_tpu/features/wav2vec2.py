@@ -372,13 +372,20 @@ def extract_wav2vec2_sequences(
     extractor: Optional[Wav2Vec2Extractor] = None,
     audio_file_column: str = "filepath",
     verbose: bool = True,
+    waveforms: Optional[Mapping[str, np.ndarray]] = None,
     **extractor_kwargs,
 ) -> Dict[str, np.ndarray]:
-    """DataFrame-of-filepaths front door (reference API shape, :37-64)."""
+    """DataFrame-of-filepaths front door (reference API shape, :37-64).
+
+    ``waveforms`` lets callers supply pre-decoded audio (e.g. the native
+    threaded batch decoder shared across extraction stages) instead of the
+    serial per-file decode here.
+    """
     if input_df.empty:  # e.g. a corpus with no Interview-Task directory
         return {}
     extractor = extractor or Wav2Vec2Extractor(**extractor_kwargs)
-    waveforms = _load_waveforms(input_df, audio_file_column, verbose)
+    if waveforms is None:
+        waveforms = _load_waveforms(input_df, audio_file_column, verbose)
     return extractor.extract_sequences(waveforms, verbose=verbose)
 
 
@@ -387,10 +394,12 @@ def extract_wav2vec2_embeddings(
     extractor: Optional[Wav2Vec2Extractor] = None,
     audio_file_column: str = "filepath",
     verbose: bool = True,
+    waveforms: Optional[Mapping[str, np.ndarray]] = None,
     **extractor_kwargs,
 ) -> pd.DataFrame:
     if input_df.empty:
         return pd.DataFrame()
     extractor = extractor or Wav2Vec2Extractor(**extractor_kwargs)
-    waveforms = _load_waveforms(input_df, audio_file_column, verbose)
+    if waveforms is None:
+        waveforms = _load_waveforms(input_df, audio_file_column, verbose)
     return extractor.extract_embeddings(waveforms, verbose=verbose)
