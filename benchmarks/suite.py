@@ -110,10 +110,14 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
         warnings.simplefilter("ignore")
         strict = Wav2Vec2Extractor(batch_size=16, allow_random_init=True)
     fast = Wav2Vec2Extractor(
-        params=strict.params, batch_size=64, compute_dtype="bfloat16",
+        params=strict.params, batch_size=16, compute_dtype="bfloat16",
         sequence_transfer_dtype=np.float16, upload_dtype=np.int16,
     )
     warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
+    # 3x the shared file count: at 5 s chunks/16-chunk batches the other
+    # stages' corpus is only ~2 batches, which measures ramp, not the
+    # pipelined steady state a real (~1 h audio) corpus runs at
+    n_files = 3 * n_files
     waves = {f"f{i}.wav": _speech(seconds, 120 + 10 * i, i) for i in range(n_files)}
     out = {"audio_seconds": n_files * seconds}
     for label, ex in (("strict_f32", strict), ("fast", fast)):

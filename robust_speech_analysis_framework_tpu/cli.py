@@ -27,8 +27,11 @@ def _w2v2_precision_kwargs(precision: str) -> dict:
     if precision == "fast":
         import numpy as np
 
+        # batch size stays at the default 16: extraction is transfer-bound
+        # and the deep in-flight pipeline keeps the chip busy; larger
+        # batches only add padding waste and lengthen the fetch critical
+        # path (measured on the tunneled v5e: bs=64 is ~30% slower)
         return {
-            "batch_size": 64,
             "compute_dtype": "bfloat16",
             "sequence_transfer_dtype": np.float16,
             "upload_dtype": np.int16,
