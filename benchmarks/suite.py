@@ -34,8 +34,13 @@ def _speech(seconds: float, f0: float, seed: int) -> np.ndarray:
     v = sum(np.sin(2 * np.pi * k * f0 * (1 + 0.01 * np.sin(2 * np.pi * 3 * t)) * t) / k
             for k in range(1, 12))
     gate = np.where((t % 0.6) < 0.42, 1.0, 0.02)
-    return (0.3 * gate * v / np.abs(v).max()
-            + 0.002 * rng.normal(size=len(t))).astype(np.float32)
+    x = (0.3 * gate * v / np.abs(v).max()
+         + 0.002 * rng.normal(size=len(t)))
+    # quantize to 16-bit PCM like a decoded corpus WAV (the real pipeline
+    # feeds n/32768 floats; this also engages the extractors' lossless
+    # int16 upload fast path)
+    return (np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0
+            ).astype(np.float32)
 
 
 def bench_mshds(n_files: int, seconds: float) -> dict:

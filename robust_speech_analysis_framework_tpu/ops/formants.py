@@ -225,6 +225,32 @@ def _gathered_burg_roots(x_cat, starts, window, win_len: int, order: int):
     return jnp.stack([re, im])
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _gathered_burg_formants(
+    x_cat, starts, window, win_len: int, order: int,
+    sr: float, max_formant_hz: float, n_keep: int,
+):
+    """:func:`_gathered_burg_roots` + the root→(freq, bandwidth) conversion
+    fused on device (same math as :func:`_roots_to_formants`, f32 on the
+    already-f32 roots), so the level transfer carries (2, frames, n_keep)
+    instead of the full (2, frames, order) root stack — half the bytes on
+    the tunnel."""
+    re, im = _gathered_burg_roots(x_cat, starts, window, win_len, order)
+    freq = jnp.abs(jnp.arctan2(im, re)) * sr / (2 * jnp.pi)
+    mag_r = jnp.hypot(re, im)
+    bw = -jnp.log(jnp.maximum(mag_r, 1e-12)) * sr / jnp.pi
+    valid = (freq > 50.0) & (freq < max_formant_hz - 50.0) & (im > 0)
+    f_key = jnp.where(valid, freq, jnp.inf)
+    idx = jnp.argsort(f_key, axis=1, stable=True)
+    f_sorted = jnp.take_along_axis(f_key, idx, axis=1)[:, :n_keep]
+    b_sorted = jnp.take_along_axis(
+        jnp.where(valid, bw, jnp.nan), idx, axis=1
+    )[:, :n_keep]
+    out_f = jnp.where(jnp.isfinite(f_sorted), f_sorted, jnp.nan)
+    out_b = jnp.where(jnp.isfinite(f_sorted), b_sorted, jnp.nan)
+    return jnp.stack([out_f, out_b]).astype(jnp.float32)
+
+
 def formant_track_burg_batch(
     xs,
     sr: float,
@@ -311,13 +337,14 @@ def formant_track_burg_batch(
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
     starts_padded, _ = pad_frames(all_starts[:, None])
-    roots_dev = _gathered_burg_roots(
+    fb_dev = _gathered_burg_formants(
         x_cat, jnp.asarray(starts_padded[:, 0]), jnp.asarray(window, jnp.float32),
-        win_len, int(2 * max_formants),
+        win_len, int(2 * max_formants), float(sr), float(max_formant_hz),
+        n_keep,
     )
 
-    def _finalize(roots):
-        roots = np.asarray(roots)
+    def _finalize(fb):
+        fb = np.asarray(fb, np.float64)
         out = []
         cursor = 0
         for n_frames, centers in metas:
@@ -327,12 +354,11 @@ def formant_track_burg_batch(
                     np.full((0, n_keep), np.nan)
                 ))
                 continue
-            re = roots[0, cursor : cursor + n_frames]
-            im = roots[1, cursor : cursor + n_frames]
+            f = fb[0, cursor : cursor + n_frames]
+            b = fb[1, cursor : cursor + n_frames]
             cursor += n_frames
-            f, b = _roots_to_formants(re, im, sr, max_formant_hz, n_keep)
             out.append(FormantTrack(centers, f, b))
         return out
 
-    d = Deferred(roots_dev, _finalize)
+    d = Deferred(fb_dev, _finalize)
     return d if defer else d.result()

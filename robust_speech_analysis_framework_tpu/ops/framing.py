@@ -156,7 +156,25 @@ def corpus_buffer(xs, pad: int = 4096, align: int = 8) -> CorpusBuffer:
     cat = (
         np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
     )
-    return CorpusBuffer(xs, offsets, pad, jnp.asarray(cat))
+    # 16-bit-PCM-derived corpora (WAV decode divides by 32768, so every
+    # sample is n/32768 exactly) upload as int16 — half the bytes on the
+    # ~50 MB/s tunnel — and dequantize on device; scaling by 2^-15 is
+    # exact in f32, so x_cat is bit-identical to the f32 upload. Anything
+    # else (synthetic floats, resampled audio) takes the f32 path.
+    q = cat * 32768.0
+    qi = np.round(q)
+    if cat.size and abs(float(qi.max(initial=0.0))) <= 32767 \
+            and abs(float(qi.min(initial=0.0))) <= 32768 \
+            and bool((q == qi).all()):
+        x_cat = _dequant_i16(jnp.asarray(qi.astype(np.int16)))
+    else:
+        x_cat = jnp.asarray(cat)
+    return CorpusBuffer(xs, offsets, pad, x_cat)
+
+
+@jax.jit
+def _dequant_i16(i16):
+    return i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
 
 class _LengthOnly(np.ndarray):
