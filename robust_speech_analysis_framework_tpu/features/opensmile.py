@@ -343,8 +343,12 @@ class OpenSmileExtractor:
         from ..ops.jitter import mark_periods_batch, periods_to_llds_batch
         from ..ops.shs_pitch import shs_pitch_batch
 
+        from ..ops.framing import upload_pcm_f32
+
         cfg = self.config.frontend
-        stack_j = jnp.asarray(stack)  # ONE upload, shared with the march
+        # ONE upload, shared with the march; int16 over the tunnel when the
+        # audio is 16-bit-PCM-derived (half the bytes, bit-identical).
+        stack_j = upload_pcm_f32(stack)
         mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(stack_j)
         f0_dev, voicing_dev = shs_pitch_batch(
             mag, cfg.sample_rate, energy, self.config.shs,
