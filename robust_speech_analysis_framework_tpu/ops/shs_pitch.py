@@ -157,20 +157,18 @@ def _voicing_from_mag(mag: jnp.ndarray, sr: float, min_pitch: float) -> jnp.ndar
 
 
 @partial(jax.jit, static_argnums=(3,))
-def viterbi_smooth(
+def _viterbi_state_inputs(
     freqs: jnp.ndarray,
     scores: jnp.ndarray,
     voicing: jnp.ndarray,
     params: ShsParams,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Candidate-level Viterbi with the openSMILE weight scheme.
+):
+    """Per-file candidate-state costs for the path finder.
 
     States: the C voiced candidates + 1 unvoiced state. Local cost:
     wLocal·(1−score) for voiced, wThr·(voicing−cutoff) for unvoiced (cheap
-    when voicing is low). Transitions: wTvv·|Δlog2 f| between voiced states,
-    wTvuv across voicing changes, wTuu for unvoiced runs, wRange·|log2
-    (f/median-ish center)| as a range prior. Returns (f0 (T,), voicing (T,)).
-    """
+    when voicing is low), plus wRange·|log2(f/center)| as a range prior.
+    Returns (local (T, S), states_f (T, S), is_voiced (T, S))."""
     t, c = freqs.shape
     center = jnp.exp(
         jnp.sum(jnp.log(jnp.maximum(freqs[:, 0], 1.0)) * (voicing > params.voicing_cutoff))
@@ -190,41 +188,70 @@ def viterbi_smooth(
     is_voiced = jnp.concatenate(
         [freqs > 0, jnp.zeros((t, 1), bool)], axis=1
     )
+    return local, states_f, is_voiced
 
-    # Associative-scan Viterbi (same reformulation as ops.pitch._viterbi):
-    # the forward recurrence is a min-plus matrix-chain product, so prefix
-    # costs c_t and suffix completions d_t both come from
-    # lax.associative_scan in O(log T) depth instead of a T-step lax.scan
-    # (T sequential kernel launches); each frame's winner is
-    # argmin_j c_t[j] + d_t[j].
+
+def _viterbi_path_assoc(local, states_f, is_voiced, params: ShsParams):
+    """Associative-scan path finder (non-TPU backends); (T, S) inputs.
+
+    Transitions: wTvv·|Δlog2 f| between voiced states, wTvuv across voicing
+    changes, wTuu for unvoiced runs. Prefix costs c_t and suffix completions
+    d_t come from ``lax.associative_scan`` in O(log T) depth; each frame's
+    winner is argmin_j c_t[j] + d_t[j] (a state on a globally optimal
+    path, no sequential backtracking)."""
+    t, s = local.shape
+    f_prev, v_prev = states_f[:-1], is_voiced[:-1]
+    f_cur, v_cur = states_f[1:], is_voiced[1:]
+    jump = jnp.abs(jnp.log2(f_prev[:, :, None] / f_cur[:, None, :]))
+    both_voiced = v_prev[:, :, None] & v_cur[:, None, :]
+    same = v_prev[:, :, None] == v_cur[:, None, :]
+    trans = jnp.where(
+        both_voiced,
+        params.w_tvv * jump,
+        jnp.where(same, params.w_tuu, params.w_tvuv),
+    )
+    M = trans + local[1:][:, None, :]  # (T-1, S, S)
+
+    def combine(a, b):
+        return jnp.min(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    prefix = jax.lax.associative_scan(combine, M)
+    cost = jnp.concatenate(
+        [local[:1], jnp.min(local[0][None, :, None] + prefix, axis=1)],
+        axis=0,
+    )  # (T, S)
+    # Suffix completions D_t = M_t ⊗ … ⊗ M_{T-2}: a reverse associative
+    # scan composes in flipped order and M is not symmetric (the local-cost
+    # term breaks it), so scan the transposed elements (scan_rev(Mᵀ)[t] =
+    # D_tᵀ) and reduce over axis −2. (Fixes a round-1 bug where the suffix
+    # was the flipped-order product.)
+    suffix = jax.lax.associative_scan(
+        combine, jnp.swapaxes(M, -1, -2), reverse=True
+    )
+    d = jnp.concatenate(
+        [jnp.min(suffix, axis=-2), jnp.zeros((1, s), M.dtype)], axis=0
+    )
+    return jnp.argmin(cost + d, axis=1)
+
+
+def viterbi_smooth(
+    freqs: jnp.ndarray,
+    scores: jnp.ndarray,
+    voicing: jnp.ndarray,
+    params: ShsParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate-level Viterbi with the openSMILE weight scheme
+    (cPitchSmootherViterbi, Androids.conf:190-213). Returns (f0 (T,),
+    voicing (T,)). Single-file reference path; the batched TPU pipeline
+    routes through ops.pallas.viterbi instead (see ``_shs_batched_jit``)."""
+    t, c = freqs.shape
+    local, states_f, is_voiced = _viterbi_state_inputs(
+        freqs, scores, voicing, params
+    )
     if t == 1:
         path = jnp.argmin(local[0])[None]
     else:
-        f_prev, v_prev = states_f[:-1], is_voiced[:-1]
-        f_cur, v_cur = states_f[1:], is_voiced[1:]
-        jump = jnp.abs(jnp.log2(f_prev[:, :, None] / f_cur[:, None, :]))
-        both_voiced = v_prev[:, :, None] & v_cur[:, None, :]
-        same = v_prev[:, :, None] == v_cur[:, None, :]
-        trans = jnp.where(
-            both_voiced,
-            params.w_tvv * jump,
-            jnp.where(same, params.w_tuu, params.w_tvuv),
-        )
-        M = trans + local[1:][:, None, :]  # (T-1, S, S)
-
-        def combine(a, b):
-            return jnp.min(a[..., :, :, None] + b[..., None, :, :], axis=-2)
-
-        prefix = jax.lax.associative_scan(combine, M)
-        cost = jnp.concatenate(
-            [local[:1], jnp.min(local[0][None, :, None] + prefix, axis=1)],
-            axis=0,
-        )  # (T, S)
-        suffix = jax.lax.associative_scan(combine, M, reverse=True)
-        d = jnp.concatenate(
-            [jnp.min(suffix, axis=-1), jnp.zeros((1, c + 1), M.dtype)], axis=0
-        )
-        path = jnp.argmin(cost + d, axis=1)
+        path = _viterbi_path_assoc(local, states_f, is_voiced, params)
 
     rows = jnp.arange(t)
     chose_voiced = path < c
@@ -299,8 +326,11 @@ def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
     compiled program from the persistent cache every invocation (~0.65 s
     measured on the tunneled chip)."""
     log_min, dlog = octave_grid(sr, float(params.min_f_scale), n_points)
+    from .pallas.viterbi import viterbi_pallas_available, viterbi_path_pallas
 
-    def single(m, rms):
+    use_pallas = viterbi_pallas_available()
+
+    def prep(m, rms):
         s_oct = octave_scale_spectrum(
             m, sr, float(params.min_f_scale), n_points
         )
@@ -309,7 +339,38 @@ def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
             params.n_candidates, (params.min_pitch, params.max_pitch),
         )
         voicing = _voicing_from_mag(m, sr, float(params.min_pitch))
-        f0, voc = viterbi_smooth(freqs, scores, voicing, params)
-        return jnp.where(rms >= energy_threshold, f0, 0.0), voc
+        local, states_f, is_voiced = _viterbi_state_inputs(
+            freqs, scores, voicing, params
+        )
+        return local, states_f, is_voiced, voicing
 
-    return jax.jit(jax.vmap(single))
+    def batched(mag_b, rms_b):
+        local, states_f, is_voiced, voicing = jax.vmap(prep)(mag_b, rms_b)
+        c = local.shape[-1] - 1  # voiced candidate count
+        if local.shape[1] == 1:
+            path = jnp.argmin(local[:, 0], axis=-1)[:, None]
+        elif use_pallas:
+            # Sequential VMEM-state kernel: the associative form's (T, S, S)
+            # min-plus intermediates tile at ~11% vreg occupancy on TPU.
+            path = viterbi_path_pallas(
+                jnp.log2(states_f).astype(jnp.float32),
+                is_voiced.astype(jnp.float32),
+                local.astype(jnp.float32),
+                float(params.w_tvv), float(params.w_tuu),
+                float(params.w_tvuv),
+            )
+        else:
+            path = jax.vmap(
+                lambda l, f, v: _viterbi_path_assoc(l, f, v, params)
+            )(local, states_f, is_voiced)
+        chose_voiced = path < c
+        f0 = jnp.where(
+            chose_voiced,
+            jnp.take_along_axis(
+                states_f, jnp.clip(path, 0, c - 1)[..., None], axis=2
+            )[..., 0],
+            0.0,
+        )
+        return jnp.where(rms_b >= energy_threshold, f0, 0.0), voicing
+
+    return jax.jit(batched)
