@@ -43,6 +43,11 @@ class TrainConfig:
     plateau_patience: int = 5
     use_length_masking: bool = False  # reference parity: padding unmasked
     min_bucket: int = 64
+    # compile every (batch, time-bucket) step shape concurrently before the
+    # epoch loop: XLA compiles release the GIL (and go through a remote
+    # compile service on the tunneled chip), so threads overlap what would
+    # otherwise be one serial multi-second compile per shape
+    parallel_warmup: bool = True
 
 
 class ReduceLROnPlateau:
@@ -183,6 +188,70 @@ class Trainer:
         return logits_out
 
 
+_WARMED_SHAPES: set = set()  # (model_repr, (kind, B, T, masked)) seen this process
+
+
+def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
+    """Compile every step shape the epoch loop can encounter, concurrently.
+
+    ``batch_iterator`` bounds padded time lengths to the bucket ladder, so the
+    realizable shapes are (B, T) with B ∈ {batch_size, n mod batch_size} and
+    T in the bucket set of the data. Serially, each first encounter blocks the
+    loop for a multi-second XLA compile (on the tunneled chip, a remote
+    compile-service round trip); compiling them up front from a thread pool
+    overlaps those waits. Shapes already warmed on this ``trainer`` are
+    skipped, so later folds/trials of the same dataset cost nothing.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..data.batching import bucket_length
+
+    arch = repr(trainer.model)  # flax modules are dataclasses: stable repr
+    shapes = set()
+    t_buckets = {bucket_length(t, cfg.min_bucket) for t in train_lens}
+    train_bs = {min(cfg.batch_size, len(train_lens))}
+    if len(train_lens) % cfg.batch_size:
+        train_bs.add(len(train_lens) % cfg.batch_size)
+    for b in train_bs:
+        for t in t_buckets:
+            shapes.add(("train", int(b), int(t), cfg.use_length_masking))
+    # the val pass is unshuffled, so its batch shapes are exactly enumerable
+    for start in range(0, len(val_lens), cfg.batch_size):
+        group = val_lens[start : start + cfg.batch_size]
+        shapes.add(
+            ("eval", len(group), int(bucket_length(max(group), cfg.min_bucket)),
+             cfg.use_length_masking)
+        )
+    # process-global memo: fresh Trainer objects of the same architecture
+    # re-trace cheaply against the live in-process/persistent compile caches,
+    # so only genuinely never-compiled (arch, shape) pairs are worth the
+    # threaded warmup dispatches
+    shapes = {s for s in shapes if (arch, s) not in _WARMED_SHAPES}
+    if not shapes:
+        return
+    _WARMED_SHAPES.update((arch, s) for s in shapes)
+
+    rng = jax.random.PRNGKey(0)  # separate key: must not consume the
+    # training rng stream (warmup on/off yields identical histories)
+
+    def compile_one(spec):
+        kind, b, t, _ = spec
+        batch = jnp.zeros((b, t, dim), jnp.float32)
+        lengths = jnp.full((b,), t, jnp.int32)
+        if kind == "train":
+            trainer._train_step(
+                state,
+                (batch, lengths, jnp.zeros((b,), jnp.int32)),
+                rng,
+                cfg.use_length_masking,
+            )
+        else:
+            trainer._eval_step(state, batch, lengths, cfg.use_length_masking)
+
+    with ThreadPoolExecutor(max_workers=min(8, max(len(shapes), 1))) as ex:
+        list(ex.map(compile_one, sorted(shapes)))
+
+
 def _mean_val_loss(trainer, state, sequences, labels, cfg) -> float:
     """Batch-averaged validation loss (mean of per-batch means, matching the
     reference's ``val_loss / len(val_loader)`` at src/dl_cv_strategies.py:141)."""
@@ -227,6 +296,16 @@ def train_model(
     )
     rng, init_rng = jax.random.split(rng)
     state = trainer.init_state(init_rng, jnp.asarray(example), cfg.learning_rate)
+
+    if cfg.parallel_warmup and train_sequences and val_sequences:
+        _warmup_step_shapes(
+            trainer,
+            state,
+            cfg,
+            [len(s) for s in train_sequences],
+            [len(s) for s in val_sequences],
+            int(np.asarray(train_sequences[0]).shape[1]),
+        )
 
     scheduler = ReduceLROnPlateau(cfg.plateau_factor, cfg.plateau_patience)
     best_val = float("inf")

@@ -76,3 +76,53 @@ def test_graft_entry_and_dryrun():
     assert out.shape == (2, 2)
     g.dryrun_multichip(8)  # must not raise
     g.dryrun_multichip(4)
+
+
+def test_sharded_opensmile_frame_stage_matches_single_device():
+    """Corpus extraction scales data-parallel: a dp-sharded bucket stack
+    through the openSMILE frame stage must match the unsharded result
+    (batch-dim sharding propagates through every vmapped frame op)."""
+    from robust_speech_analysis_framework_tpu.features.opensmile import (
+        OpenSmileExtractor,
+    )
+
+    ex = OpenSmileExtractor()
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(
+        rng.normal(size=(8, 8000)).astype(np.float32) * 0.1
+    )
+    ref = ex._frame_stage_batch(stack)
+
+    mesh = make_mesh(8, mp=1)
+    with mesh:
+        xs = jax.device_put(
+            stack, jax.sharding.NamedSharding(mesh, P("dp", None))
+        )
+        out = ex._frame_stage_batch(xs)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-5)
+
+
+def test_sharded_mshds_pitch_batch_matches_single_device():
+    """MSHDS batched pitch (the heaviest extraction pass) under a dp
+    sharding must equal the single-device result."""
+    from robust_speech_analysis_framework_tpu.ops.pitch import (
+        PitchParams,
+        pitch_track_batch,
+    )
+
+    rng = np.random.default_rng(1)
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    waves = [
+        (0.5 * np.sin(2 * np.pi * (120 + 15 * i) * t)).astype(np.float64)
+        for i in range(8)
+    ]
+    params = PitchParams()
+    ref = pitch_track_batch(waves, sr, params)
+
+    mesh = make_mesh(8, mp=1)
+    with mesh:
+        got = pitch_track_batch(waves, sr, params)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g.f0), np.asarray(r.f0), atol=1e-6)

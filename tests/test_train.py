@@ -96,3 +96,20 @@ def test_masked_training_runs():
     )
     state, th, vh = train_model(trainer, xs[:8], ys[:8], xs[8:], ys[8:], cfg)
     assert np.isfinite(th).all() and np.isfinite(vh).all()
+
+
+def test_parallel_warmup_identical_histories():
+    """Warmup must not consume the training rng stream or alter results."""
+    xs, ys = _toy_dataset(n_per_class=5)
+    model = CNNLSTM(input_dim=12, cnn_out_channels=4, lstm_hidden_dim=4)
+    hists = []
+    for warm in (False, True):
+        trainer = Trainer(model)
+        cfg = TrainConfig(
+            learning_rate=1e-3, epochs=3, patience=5, batch_size=4,
+            min_bucket=16, parallel_warmup=warm,
+        )
+        state, th, vh = train_model(trainer, xs[:7], ys[:7], xs[7:], ys[7:], cfg)
+        hists.append((th, vh))
+    np.testing.assert_allclose(hists[0][0], hists[1][0], rtol=1e-6)
+    np.testing.assert_allclose(hists[0][1], hists[1][1], rtol=1e-6)
