@@ -64,14 +64,16 @@ def _idft_cos_basis(n_fft: int, n_out: int) -> np.ndarray:
     return (b * w / n_fft).astype(np.float32)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _matmul_rfft_parts(x: jnp.ndarray, n_fft: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def _matmul_rfft_parts(x: jnp.ndarray, n_fft: int, precision=None):
     n_in = x.shape[-1]
     cos_b, sin_b = _dft_basis(n_in, n_fft)
     cos_b = jnp.asarray(cos_b, x.dtype)
     sin_b = jnp.asarray(sin_b, x.dtype)
-    re = jnp.matmul(x, cos_b, preferred_element_type=jnp.float32)
-    im = jnp.matmul(x, sin_b, preferred_element_type=jnp.float32)
+    re = jnp.matmul(x, cos_b, preferred_element_type=jnp.float32,
+                    precision=precision)
+    im = jnp.matmul(x, sin_b, preferred_element_type=jnp.float32,
+                    precision=precision)
     return re, im
 
 
@@ -107,10 +109,10 @@ def autocorr(x: jnp.ndarray, n_fft: int, n_lags: int) -> jnp.ndarray:
     return autocorr_via_power(rfft_power(x, n_fft), n_fft, n_lags)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _matmul_cross_corr(base, ext, n_fft, n_lags):
-    rb, ib = _matmul_rfft_parts(base, n_fft)
-    re_, ie = _matmul_rfft_parts(ext, n_fft)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _matmul_cross_corr(base, ext, n_fft, n_lags, precision=None):
+    rb, ib = _matmul_rfft_parts(base, n_fft, precision)
+    re_, ie = _matmul_rfft_parts(ext, n_fft, precision)
     # conj(F(base))·F(ext)
     h_re = rb * re_ + ib * ie
     h_im = rb * ie - ib * re_
@@ -123,17 +125,25 @@ def _matmul_cross_corr(base, ext, n_fft, n_lags):
         w[-1, 0] = 1.0
     cos_b = jnp.asarray((np.cos(ang) * w / n_fft).astype(np.float32))
     sin_b = jnp.asarray((np.sin(ang) * w / n_fft).astype(np.float32))
-    return jnp.matmul(h_re, cos_b, preferred_element_type=jnp.float32) - jnp.matmul(
-        h_im, sin_b, preferred_element_type=jnp.float32
+    return jnp.matmul(
+        h_re, cos_b, preferred_element_type=jnp.float32, precision=precision
+    ) - jnp.matmul(
+        h_im, sin_b, preferred_element_type=jnp.float32, precision=precision
     )
 
 
-def cross_corr(base: jnp.ndarray, ext: jnp.ndarray, n_fft: int, n_lags: int) -> jnp.ndarray:
+def cross_corr(base: jnp.ndarray, ext: jnp.ndarray, n_fft: int, n_lags: int,
+               precision=None) -> jnp.ndarray:
     """corr(τ) = Σ_t base[t]·ext[t+τ] for τ∈[0, n_lags) along the last axis
     (base zero-padded to ext's length; both zero-padded to n_fft ≥ len(ext) +
-    len(base) to avoid circular wrap within the lag band)."""
+    len(base) to avoid circular wrap within the lag band).
+
+    ``precision`` (TPU matmul path only): pass ``jax.lax.Precision.HIGHEST``
+    when downstream consumes fine structure near a correlation peak (e.g.
+    argmax lag searches) — the MXU's default bf16 passes add ~4e-3 relative
+    noise, larger than the peak curvature of long-period signals."""
     if use_matmul_dft():
-        return _matmul_cross_corr(base, ext, n_fft, n_lags)
+        return _matmul_cross_corr(base, ext, n_fft, n_lags, precision)
     fb = jnp.fft.rfft(base, n_fft)
     fe = jnp.fft.rfft(ext, n_fft)
     return jnp.fft.irfft(jnp.conj(fb) * fe, n_fft)[..., :n_lags]

@@ -30,6 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_KSUB = 16  # periods marked per while-loop iteration (see _march_periods_device)
+
+
 class PeriodTrack(NamedTuple):
     starts: np.ndarray  # (P,) sample index of each period start
     lengths: np.ndarray  # (P,) samples
@@ -124,22 +127,43 @@ def _march_periods_device(
     single 1-D convolution per step (corr and per-lag energy), so no
     per-element gathers. Emits padded (starts, lengths, amps, corrs,
     count) per file.
+
+    Each while iteration marks ``_KSUB`` consecutive periods (an unrolled
+    chain of substeps, each guarded by its own activity mask): the
+    per-iteration lockstep dispatch overhead (~100 µs measured on the
+    tunneled chip) dwarfs the substep's conv cost, so speculative
+    multi-period stepping divides the iteration count — and therefore the
+    march wall time — by ``_KSUB`` while computing the EXACT same period
+    sequence as one-period-per-iteration marching.
     """
+    from .dft import cross_corr
+    from .framing import rows32_gather
+
     B, N = stack.shape
     t0_max = sr / f0_min
     W0 = int(round(t0_max)) + 1  # max template length
     HI = int(t0_max * (1 + srr)) + 2  # max period search upper bound
     GW = HI + W0 + 8  # gathered window covers template + search band
-    xpad = jnp.pad(stack, ((0, 0), (0, GW)))
+    # linear (non-circular) correlation needs n_fft > (W0-1) + (n_lags-1)
+    NFFT = 1 << (GW - 1).bit_length()
+    # pad to 32-row granularity for the coarse row gather (see substep):
+    # rows32_gather needs >= GW//32 + 2 rows past the largest start
+    wb32 = (GW // 32 + 3) * 32
+    total = -(-(N + GW + wb32) // 32) * 32
+    xpad = jnp.pad(stack, ((0, 0), (0, total - N)))
     ns_a = ns.astype(jnp.int32)
     nf_a = n_frames.astype(jnp.int32)
 
     def one_file(x, f0, n, nf):
-        def cond(state):
-            pos, k, broken, _ = state
+        x32 = x.reshape(-1, 32)
+        def active(pos, k, broken):
             return (pos < n - 16) & (~broken) & (k < p_max)
 
-        def body(state):
+        def cond(state):
+            pos, k, broken, _ = state
+            return active(pos, k, broken)
+
+        def substep(state):
             pos, k, broken, bufs = state
             starts, lengths, amps, corrs = bufs
             fi = jnp.minimum(pos // hop_samples, nf - 1)
@@ -151,14 +175,30 @@ def _march_periods_device(
             w0 = jnp.round(t0).astype(jnp.int32)
             fits = pos + hi * 2 < n
 
-            g = jax.lax.dynamic_slice(x, (pos,), (GW,))
+            # coarse 32-sample-row gather + shift select: the vmapped
+            # dynamic_slice lowers to an elementwise gather that measured
+            # ~40 ms/march on the tunneled chip (the framing-module fix,
+            # reused; bit-identical)
+            g = rows32_gather(x32, pos[None], GW)[0]
             ar = jnp.arange(GW)
             tmpl_mask = jnp.arange(W0) < w0
             aw = jnp.where(tmpl_mask, g[:W0], 0.0)
-            # correlation + per-lag energy as 1-D convs over the window
-            corr_full = jnp.convolve(g, aw[::-1], mode="valid")  # (GW-W0+1,)
-            e_full = jnp.convolve(
-                g * g, tmpl_mask[::-1].astype(g.dtype), mode="valid"
+            # Both the lag correlation AND the per-lag window energy run as
+            # GEMM-native DFT products (MXU): a 400-tap direct convolve
+            # measured ~10× slower per substep, and a cumsum-difference
+            # energy measured ~60 ms/march — XLA's prefix-sum lowering is
+            # the single most expensive op inside this loop. These values
+            # only steer the argmax; the winner is re-derived exactly below.
+            n_lags = GW - W0 + 1
+            corr_full = cross_corr(
+                aw, g, NFFT, n_lags, precision=jax.lax.Precision.HIGHEST
+            )
+            e_full = jnp.maximum(  # DFT rounding can dip just below zero
+                cross_corr(
+                    tmpl_mask.astype(g.dtype), g * g, NFFT, n_lags,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                0.0,
             )
             nlag = hi - lo + 1
             lag_ids = jnp.arange(GW - W0 + 1)
@@ -168,20 +208,35 @@ def _march_periods_device(
             valid = (lag_ids >= lo) & (lag_ids < lo + nlag)
             ncc = jnp.where(valid, ncc, -jnp.inf)
             j = jnp.argmax(ncc)
-            best_corr = ncc[j]
             best_len = j  # lag_ids are absolute lags already
+            # re-derive the winner's correlation from direct dots: the
+            # DFT/prefix-sum values above are plenty for the argmax, but
+            # logHNR = ln(rho/(1-rho)) downstream amplifies their rounding
+            # in the rho -> 1 saturation regime
+            gj = jnp.where(tmpl_mask, jax.lax.dynamic_slice(g, (j,), (W0,)), 0.0)
+            corr_j = jnp.sum(aw * gj)
+            e_bj = jnp.sum(gj * gj)
+            denom_j = jnp.sqrt(jnp.maximum(e_a * e_bj, 1e-30))
+            best_corr = jnp.where(denom_j > 0, corr_j / denom_j, -2.0)
             amp = jnp.max(jnp.where(ar < best_len, jnp.abs(g), 0.0))
 
-            emit = voiced & fits
+            live = active(pos, k, broken)
+            emit = voiced & fits & live
             starts = starts.at[k].set(jnp.where(emit, pos, starts[k]))
             lengths = lengths.at[k].set(jnp.where(emit, best_len, lengths[k]))
             amps = amps.at[k].set(jnp.where(emit, amp, amps[k]))
             corrs = corrs.at[k].set(jnp.where(emit, best_corr, corrs[k]))
             k = k + emit.astype(jnp.int32)
             skip = jnp.maximum(hop_samples // 2, 1)
-            pos = jnp.where(emit, pos + best_len, pos + skip)
-            broken = voiced & (~fits)
+            step = jnp.where(emit, best_len, skip)
+            pos = pos + jnp.where(live, step, 0)
+            broken = jnp.where(live, voiced & (~fits), broken)
             return pos, k, broken, (starts, lengths, amps, corrs)
+
+        def body(state):
+            for _ in range(_KSUB):
+                state = substep(state)
+            return state
 
         bufs0 = (
             jnp.zeros(p_max, jnp.int32),

@@ -303,3 +303,36 @@ def test_pipelined_buckets_match_serial_across_many_buckets():
     rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-3)
     assert np.nanmedian(rel) < 1e-5
     assert np.nanmean(rel) < 5e-2
+
+
+def test_device_period_marching_matmul_dft_path(monkeypatch):
+    """The TPU-backend lag search (GEMM-native DFT correlation, forced here
+    via RSAF_FORCE_MATMUL_DFT) must march the same boundaries as the fft
+    path and the NumPy oracle."""
+    import jax
+
+    from robust_speech_analysis_framework_tpu.ops.jitter import (
+        mark_periods,
+        mark_periods_batch,
+    )
+
+    monkeypatch.setenv("RSAF_FORCE_MATMUL_DFT", "1")
+    jax.clear_caches()  # _march_periods_device already traced the fft path
+    try:
+        x = _voiced_pulsed(1.3, 125).astype(np.float32)
+        hop_s = 0.010
+        n_frames = len(x) // int(SR * hop_s)
+        f0 = np.full(n_frames, 125.0, np.float32)
+        got = mark_periods_batch(
+            x[None, :], SR, f0[None, :], [len(x)], [n_frames], hop_s=hop_s
+        )
+        ref = mark_periods(x.astype(np.float64), SR, f0, hop_s=hop_s)
+        n = min(len(ref.starts), len(got[0].starts))
+        assert n > 10
+        same = np.mean(ref.starts[:n] == got[0].starts[:n])
+        assert same > 0.97, f"only {same:.2%} boundaries agree"
+        np.testing.assert_allclose(
+            got[0].correlations[:n], ref.correlations[:n], atol=5e-4
+        )
+    finally:
+        jax.clear_caches()
