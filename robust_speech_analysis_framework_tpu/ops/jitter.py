@@ -123,10 +123,9 @@ def _march_periods_device(
 
     Sequentiality is only through each file's ``pos`` cursor, so the batch
     runs in lockstep until every lane finishes. Variable-length host slices
-    become fixed-size gathered windows with masks; the lag search is a
-    single 1-D convolution per step (corr and per-lag energy), so no
-    per-element gathers. Emits padded (starts, lengths, amps, corrs,
-    count) per file.
+    become fixed-size gathered windows with masks; the lag search runs as
+    GEMM-native DFT correlations with an exact direct-dot re-derivation of
+    the winner. Emits padded (starts, lengths, amps, corrs, count) per file.
 
     Each while iteration marks ``_KSUB`` consecutive periods (an unrolled
     chain of substeps, each guarded by its own activity mask): the
@@ -164,8 +163,7 @@ def _march_periods_device(
             return active(pos, k, broken)
 
         def substep(state):
-            pos, k, broken, bufs = state
-            starts, lengths, amps, corrs = bufs
+            pos, k, broken, buf = state
             fi = jnp.minimum(pos // hop_samples, nf - 1)
             f0v = f0[fi]
             voiced = f0v > 0
@@ -222,32 +220,36 @@ def _march_periods_device(
 
             live = active(pos, k, broken)
             emit = voiced & fits & live
-            starts = starts.at[k].set(jnp.where(emit, pos, starts[k]))
-            lengths = lengths.at[k].set(jnp.where(emit, best_len, lengths[k]))
-            amps = amps.at[k].set(jnp.where(emit, amp, amps[k]))
-            corrs = corrs.at[k].set(jnp.where(emit, best_corr, corrs[k]))
+            # one fused row write per substep (4 separate scatters measured
+            # ~8 ms/march); starts/lengths are exact in f32 (< 2^24)
+            row = jnp.stack([
+                pos.astype(jnp.float32), best_len.astype(jnp.float32),
+                amp, best_corr,
+            ])
+            buf = buf.at[k].set(jnp.where(emit, row, buf[k]))
             k = k + emit.astype(jnp.int32)
             skip = jnp.maximum(hop_samples // 2, 1)
             step = jnp.where(emit, best_len, skip)
             pos = pos + jnp.where(live, step, 0)
             broken = jnp.where(live, voiced & (~fits), broken)
-            return pos, k, broken, (starts, lengths, amps, corrs)
+            return pos, k, broken, buf
 
         def body(state):
             for _ in range(_KSUB):
                 state = substep(state)
             return state
 
-        bufs0 = (
-            jnp.zeros(p_max, jnp.int32),
-            jnp.zeros(p_max, jnp.int32),
-            jnp.zeros(p_max, jnp.float32),
-            jnp.zeros(p_max, jnp.float32),
+        buf0 = jnp.zeros((p_max, 4), jnp.float32)
+        pos, k, _, buf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False), buf0)
         )
-        pos, k, _, bufs = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False), bufs0)
+        return (
+            buf[:, 0].astype(jnp.int32),
+            buf[:, 1].astype(jnp.int32),
+            buf[:, 2],
+            buf[:, 3],
+            k,
         )
-        return (*bufs, k)
 
     return jax.vmap(one_file)(xpad, f0_pad, ns_a, nf_a)
 
