@@ -31,6 +31,7 @@ import numpy as np
 
 
 _KSUB = 16  # periods marked per while-loop iteration (see _march_periods_device)
+_FUSED_MAX = 1 << 24  # largest padded length whose starts stay exact in f32
 
 
 class PeriodTrack(NamedTuple):
@@ -149,6 +150,10 @@ def _march_periods_device(
     # rows32_gather needs >= GW//32 + 2 rows past the largest start
     wb32 = (GW // 32 + 3) * 32
     total = -(-(N + GW + wb32) // 32) * 32
+    # starts/lengths ride the fused f32 row write only while exact there;
+    # longer waveforms (> 2^24 samples ≈ 17.5 min at 16 kHz) fall back to
+    # a split int32 + f32 pair of scatters (static branch — N is a shape)
+    fused = total < _FUSED_MAX
     xpad = jnp.pad(stack, ((0, 0), (0, total - N)))
     ns_a = ns.astype(jnp.int32)
     nf_a = n_frames.astype(jnp.int32)
@@ -203,6 +208,16 @@ def _march_periods_device(
             e_a = jnp.sum(aw * aw)
             denom = jnp.sqrt(jnp.maximum(e_a * e_full, 1e-30))
             ncc = jnp.where(denom > 0, corr_full / denom, -2.0)
+            # Zero-energy windows: the host oracle's direct products are
+            # exactly 0 there, so its NCC is 0 — but the spectral corr_full
+            # carries transform rounding noise (~1e-7·e_tot) that the
+            # 1e-30-floored denominator amplifies into huge spurious scores
+            # (observed: noise-determined lags through gated/trimmed silence
+            # the pitch tracker labels voiced). Score 0 when either side's
+            # energy is negligible relative to the whole gathered window.
+            e_tot = jnp.sum(g * g)
+            ethr = 1e-6 * e_tot + 1e-30
+            ncc = jnp.where((e_full > ethr) & (e_a > ethr), ncc, 0.0)
             valid = (lag_ids >= lo) & (lag_ids < lo + nlag)
             ncc = jnp.where(valid, ncc, -jnp.inf)
             j = jnp.argmax(ncc)
@@ -210,8 +225,14 @@ def _march_periods_device(
             # re-derive the winner's correlation from direct dots: the
             # DFT/prefix-sum values above are plenty for the argmax, but
             # logHNR = ln(rho/(1-rho)) downstream amplifies their rounding
-            # in the rho -> 1 saturation regime
-            gj = jnp.where(tmpl_mask, jax.lax.dynamic_slice(g, (j,), (W0,)), 0.0)
+            # in the rho -> 1 saturation regime. The winner window comes
+            # from the same coarse row gather as g (a vmapped dynamic_slice
+            # here would put an elementwise gather back in the loop body).
+            gj = jnp.where(
+                tmpl_mask,
+                rows32_gather(x32, (pos + j)[None].astype(jnp.int32), W0)[0],
+                0.0,
+            )
             corr_j = jnp.sum(aw * gj)
             e_bj = jnp.sum(gj * gj)
             denom_j = jnp.sqrt(jnp.maximum(e_a * e_bj, 1e-30))
@@ -221,12 +242,20 @@ def _march_periods_device(
             live = active(pos, k, broken)
             emit = voiced & fits & live
             # one fused row write per substep (4 separate scatters measured
-            # ~8 ms/march); starts/lengths are exact in f32 (< 2^24)
-            row = jnp.stack([
-                pos.astype(jnp.float32), best_len.astype(jnp.float32),
-                amp, best_corr,
-            ])
-            buf = buf.at[k].set(jnp.where(emit, row, buf[k]))
+            # ~8 ms/march); starts/lengths are exact in f32 below 2^24
+            if fused:
+                row = jnp.stack([
+                    pos.astype(jnp.float32), best_len.astype(jnp.float32),
+                    amp, best_corr,
+                ])
+                buf = (buf[0].at[k].set(jnp.where(emit, row, buf[0][k])),)
+            else:
+                rowi = jnp.stack([pos, best_len])
+                rowf = jnp.stack([amp, best_corr])
+                buf = (
+                    buf[0].at[k].set(jnp.where(emit, rowi, buf[0][k])),
+                    buf[1].at[k].set(jnp.where(emit, rowf, buf[1][k])),
+                )
             k = k + emit.astype(jnp.int32)
             skip = jnp.maximum(hop_samples // 2, 1)
             step = jnp.where(emit, best_len, skip)
@@ -239,17 +268,25 @@ def _march_periods_device(
                 state = substep(state)
             return state
 
-        buf0 = jnp.zeros((p_max, 4), jnp.float32)
+        if fused:
+            buf0 = (jnp.zeros((p_max, 4), jnp.float32),)
+        else:
+            buf0 = (
+                jnp.zeros((p_max, 2), jnp.int32),
+                jnp.zeros((p_max, 2), jnp.float32),
+            )
         pos, k, _, buf = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False), buf0)
         )
-        return (
-            buf[:, 0].astype(jnp.int32),
-            buf[:, 1].astype(jnp.int32),
-            buf[:, 2],
-            buf[:, 3],
-            k,
-        )
+        if fused:
+            return (
+                buf[0][:, 0].astype(jnp.int32),
+                buf[0][:, 1].astype(jnp.int32),
+                buf[0][:, 2],
+                buf[0][:, 3],
+                k,
+            )
+        return buf[0][:, 0], buf[0][:, 1], buf[1][:, 0], buf[1][:, 1], k
 
     return jax.vmap(one_file)(xpad, f0_pad, ns_a, nf_a)
 
