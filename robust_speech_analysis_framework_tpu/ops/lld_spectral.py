@@ -83,9 +83,16 @@ def spectral_llds(mag: jnp.ndarray, sr: float) -> jnp.ndarray:
     entropy = -(p_norm * jnp.log(jnp.maximum(p_norm, 1e-30))).sum(axis=1)
     d = freqs[None, :] - centroid[:, None]
     variance = (p_norm * d * d).sum(axis=1)
-    std = jnp.sqrt(jnp.maximum(variance, 1e-30))
-    skew = (p_norm * d**3).sum(axis=1) / std**3
-    kurt = (p_norm * d**4).sum(axis=1) / jnp.maximum(variance, 1e-30) ** 2
+    # the moment-denominator floor must keep std³ and variance² normal in
+    # f32: a 1e-30 floor gives 1e-45/1e-60 denominators that flush to zero
+    # and turn digitally-silent frames into 0/0 = NaN (which then poisons
+    # every skewness/kurtosis functional of the file). Real speech frames
+    # have spectral variance ≥ O(10⁴ Hz²), so a 1e-6 floor only fires on
+    # silence, where the zero numerator makes the moments 0.
+    var_f = jnp.maximum(variance, 1e-6)
+    std = jnp.sqrt(var_f)
+    skew = (p_norm * d**3).sum(axis=1) / (var_f * std)
+    kurt = (p_norm * d**4).sum(axis=1) / (var_f * var_f)
 
     f_mean = freqs.mean()
     f_var = jnp.mean((freqs - f_mean) ** 2)
