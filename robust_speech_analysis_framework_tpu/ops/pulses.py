@@ -70,6 +70,14 @@ def point_process_cc(
             w = 0.0
         elif w > 1.0:
             w = 1.0
+        # frame-center hits must not touch the other neighbor: 0·NaN = NaN
+        # would void queries AT a stretch's first/last voiced frame (the
+        # frame beyond is unvoiced). pos carries ~1 ulp of grid-division
+        # rounding, so snap within an epsilon, not only at exact 0/1.
+        if w < 1e-9:
+            return f0_list[i0]
+        if w > 1.0 - 1e-9:
+            return f0_list[i1]
         return (1 - w) * f0_list[i0] + w * f0_list[i1]
 
     pulses: List[float] = []
@@ -93,10 +101,14 @@ def point_process_cc(
         seed = (a + int(np.argmax(x_abs[a:b]))) / sr
         head: List[float] = []
         tail: List[float] = [seed]
-        # march forward
+        # march forward. Pitch queries clamp into [t_start, t_end] (Praat
+        # marches the whole voiced interval): the seed peak often lands
+        # BEFORE the stretch's first frame center, and an unclamped query
+        # there interpolates with the preceding unvoiced frame → NaN →
+        # the march for the entire stretch used to die at the seed.
         t = seed
         while True:
-            f_here = f_at(t if t < t_end else t_end)
+            f_here = f_at(min(max(t, t_start), t_end))
             if not (f_here > 0):  # NaN or non-positive
                 break
             T = 1.0 / f_here
@@ -111,10 +123,10 @@ def point_process_cc(
                 break
             t = (a + int(np.argmax(x_abs[a:b]))) / sr
             tail.append(t)
-        # march backward from seed
+        # march backward from seed (same clamped queries)
         t = seed
         while True:
-            f_here = f_at(t if t > t_start else t_start)
+            f_here = f_at(min(max(t, t_start), t_end))
             if not (f_here > 0):
                 break
             T = 1.0 / f_here
@@ -178,8 +190,14 @@ def _pulses_device_impl(
         i0 = jnp.clip(pos.astype(jnp.int32), 0, n - 1)
         i1 = jnp.minimum(i0 + 1, n - 1)
         w = jnp.clip(pos - i0, 0.0, 1.0)
-        val = (1 - w) * f0nan[row, jnp.clip(i0, 0, t_dim - 1)] + \
-            w * f0nan[row, jnp.clip(i1, 0, t_dim - 1)]
+        v0 = f0nan[row, jnp.clip(i0, 0, t_dim - 1)]
+        v1 = f0nan[row, jnp.clip(i1, 0, t_dim - 1)]
+        # frame-center hits must not touch the other neighbor (0·NaN = NaN
+        # at a stretch's first/last voiced frame) — mirrors the host f_at;
+        # the epsilon absorbs the f32 grid-division rounding (~pos·1e-7)
+        val = jnp.where(
+            w < 1e-3, v0, jnp.where(w > 1.0 - 1e-3, v1, (1 - w) * v0 + w * v1)
+        )
         return jnp.where((t < t0) | (t > t_last), jnp.nan, val)
 
     # seeds: peak of |x| in the host-precomputed [sa, sb) windows
@@ -203,11 +221,9 @@ def _pulses_device_impl(
     def body(st):
         t_samp, k, alive, buf = st
         t_sec = t_samp.astype(jnp.float32) / sr
-        f = f_at(
-            jnp.where(is_fwd, jnp.minimum(t_sec, t_end),
-                      jnp.maximum(t_sec, t_start)),
-            f0row,
-        )
+        # clamp queries into the stretch in BOTH directions (the forward
+        # seed often precedes the first frame center; mirrors the host)
+        f = f_at(jnp.clip(t_sec, t_start, t_end), f0row)
         ok = alive & (f > 0)  # NaN-safe
         T = 1.0 / jnp.where(f > 0, f, 1.0)
         ok &= jnp.where(

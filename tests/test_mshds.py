@@ -57,6 +57,43 @@ def test_feature_plausibility(feats):
     assert 100 < feats["mean_F1_Loc"] < 1200
 
 
+def test_formant_pulse_train_oracle():
+    """Glottal pulse train through two known resonators (F1 600, F2 1700 Hz)
+    with a gated silent tail: every feature must be finite and the formant /
+    pitch / CPP estimates must recover the construction. Regression for the
+    pulse-march clamp — the seed peak precedes the first pitch frame here,
+    which used to collapse the whole stretch to one pulse and NaN the
+    pulse-derived features (CPP, formants)."""
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(1)
+    f0 = 120.0
+    n = int(SR * 2.0)
+    x = np.zeros(n)
+    x[: n - 100 : int(SR / f0)] = 1.0
+
+    def resonator(f, bw):
+        r = np.exp(-np.pi * bw / SR)
+        th = 2 * np.pi * f / SR
+        return [1.0], [1.0, -2 * r * np.cos(th), r * r]
+
+    b1, a1 = resonator(600, 80)
+    b2, a2 = resonator(1700, 120)
+    x = lfilter(b2, a2, lfilter(b1, a1, x))
+    x = 0.3 * x / np.abs(x).max() + 0.002 * rng.normal(size=n)
+    x[int(0.85 * n):] = 0.0
+
+    row = extract_mshds_single(x, SR)
+    assert all(np.isfinite(v) for v in row.values()), \
+        {k for k, v in row.items() if not np.isfinite(v)}
+    assert row["mean_F0"] == pytest.approx(f0, abs=2.0)
+    assert row["Cepstral_Peak_Prominence"] > 8
+    assert row["HNR_dB"] > 15
+    assert row["mean_F1_Loc"] == pytest.approx(600, abs=80)
+    assert row["mean_F2_Loc"] == pytest.approx(1700, abs=200)
+    assert row["Phonation_Ratio"] > 0.8
+
+
 def test_speaker_pitch_range():
     low = _speechlike(f0_base=110)
     hi = _speechlike(f0_base=230)

@@ -119,6 +119,29 @@ def test_pitch_track_batch_matches_serial_and_handles_short_files():
         np.testing.assert_allclose(tracks[i].f0[both], ref.f0[both], atol=1e-3)
 
 
+def test_point_process_cc_covers_stretch_when_seed_precedes_first_frame():
+    """The seed peak regularly lands BEFORE the voiced stretch's first pitch
+    frame center; pitch queries must clamp into the stretch (Praat marches
+    the whole voiced interval) or the forward march dies at the seed and a
+    multi-second stretch collapses to a single pulse (regression)."""
+    from robust_speech_analysis_framework_tpu.ops.pitch import pitch_track_ac
+    from robust_speech_analysis_framework_tpu.ops.pulses import point_process_cc
+
+    rng = np.random.default_rng(1)
+    f0 = 120.0
+    n = int(SR * 1.5)
+    x = np.zeros(n)
+    x[:: int(SR / f0)] = 1.0  # pulse at t=0 pulls the seed before frame 0
+    # smear each pulse so peaks are unambiguous
+    x = np.convolve(x, np.hanning(48), mode="same")
+    x = 0.3 * x / np.abs(x).max() + 0.001 * rng.normal(size=n)
+    tr = pitch_track_ac(x, SR, floor=60.0, ceiling=330.0, voicing_threshold=0.3)
+    assert (tr.f0 > 0).sum() > 50
+    pulses = point_process_cc(x, SR, tr)
+    # ~f0 pulses per second over the voiced span
+    assert len(pulses) > 0.8 * f0 * (tr.times[-1] - tr.times[0])
+
+
 def test_point_process_cc_batch_matches_host_oracle():
     """Device/lane-batched pulse marching vs the sequential NumPy oracle:
     >=97% identical pulse positions on synthetic voiced audio (f32 window
