@@ -140,12 +140,23 @@ def shs_candidates(
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _voicing_from_mag(mag: jnp.ndarray, sr: float, min_pitch: float) -> jnp.ndarray:
+def _voicing_from_mag(
+    mag: jnp.ndarray, sr: float, min_pitch: float, win_len: int = 0
+) -> jnp.ndarray:
     """Voicing probability per frame from the normalized autocorrelation,
     recovered from the magnitude spectrum (Wiener–Khinchin: r = irfft(|S|²)).
-    Peak of r(τ) within the pitch lag band ∈ [0, 1]; harmonic frames ≈ 0.9+,
-    noise ≲ 0.4, so openSMILE's 0.70 cutoff separates them cleanly."""
+
+    The raw r(τ)/r(0) of a WINDOWED frame is depressed by the window's own
+    taper — Hamming alone caps a 120 Hz frame (lag 133 @ 16 kHz) at ~0.54,
+    and after the 0.97 preemphasis even strongly periodic frames read
+    0.6–0.75, straddling openSMILE's 0.70 voicing cutoff (measured: pulse
+    train 0.64, harmonic sum 0.75 — genuinely voiced frames were zeroed).
+    Boersma's correction divides by the window's autocorrelation ratio; the
+    divisor is floored at its value at half the window so long lags (> W/2,
+    where the window overlap carries no information) can't amplify noise.
+    Corrected: periodic frames ≈ 1.0, white noise ≤ ~0.3."""
     from .dft import autocorr_via_power
+    from ..audio.frontend import hamming_window
 
     power = mag * mag
     n_fft = 2 * (mag.shape[1] - 1)
@@ -153,6 +164,13 @@ def _voicing_from_mag(mag: jnp.ndarray, sr: float, min_pitch: float) -> jnp.ndar
     r = autocorr_via_power(power, n_fft, max_lag + 1)
     r0 = jnp.maximum(r[:, :1], 1e-30)
     band = r[:, 2:] / r0
+    W = win_len if win_len else int(round(0.025 * sr))
+    w = hamming_window(W)
+    rw = np.correlate(w, w, "full")[W - 1:]
+    rw_ratio = rw / rw[0]
+    lags = np.minimum(np.arange(2, max_lag + 1), W - 1)
+    div = np.maximum(rw_ratio[lags], rw_ratio[W // 2]).astype(np.float32)
+    band = band / jnp.asarray(div)
     return jnp.clip(jnp.max(band, axis=1), 0.0, 1.0)
 
 

@@ -116,6 +116,31 @@ def test_extract_single_silent_tail_finite():
     assert np.isfinite(vec).all()
 
 
+def test_extract_llds_marks_preemphasized_voiced_frames():
+    """Voicing through the REAL chain (preemphasis + Hamming + FFT): the
+    window taper depresses raw lag-domain autocorrelation so genuinely
+    periodic frames used to read 0.6-0.75 and straddle the 0.70 cutoff
+    (a 120 Hz pulse train read 0.64 -> F0final, jitter, shimmer and logHNR
+    were all zeroed). With Boersma's window correction, periodic frames
+    must be ~1.0 and carry a correct F0 (regression)."""
+    from robust_speech_analysis_framework_tpu.features.opensmile import (
+        LLD_NAMES,
+        OpenSmileExtractor,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(1.2 * SR)) / SR
+    for f0 in (100.0, 140.0, 220.0):
+        v = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 12))
+        x = 0.3 * v / np.abs(v).max() + 0.0005 * rng.normal(size=len(t))
+        llds = np.asarray(OpenSmileExtractor().extract_llds(x))
+        f0c = llds[:, LLD_NAMES.index("F0final")]
+        voc = llds[:, LLD_NAMES.index("voicingFinalUnclipped")]
+        assert (f0c > 0).mean() > 0.95, f"{f0}: only {(f0c>0).mean():.0%} voiced"
+        assert np.median(voc) > 0.9
+        assert np.median(f0c[f0c > 0]) == pytest.approx(f0, rel=0.02)
+
+
 def test_shs_pitch_on_harmonic():
     from robust_speech_analysis_framework_tpu.audio.frontend import (
         FrontendConfig, framed_stft, preemphasize, hamming_window)
