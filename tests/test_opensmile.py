@@ -252,6 +252,64 @@ def test_reference_compat_911_schema():
     )
 
 
+def test_jitter_shimmer_values_match_constructed_ground_truth():
+    """Value-level calibration (not just march parity): pulse trains with
+    KNOWN period perturbation and amplitude modulation must recover the
+    constructed jitterLocal / shimmerLocal within the sample-quantization
+    floor (~0.4% at 120 Hz / 16 kHz), and a clean train must read ~0 for
+    both with saturated logHNR."""
+    from robust_speech_analysis_framework_tpu.ops.jitter import (
+        jitter_shimmer_llds,
+    )
+
+    rng = np.random.default_rng(3)
+    f0 = 120.0
+    T0 = SR / f0
+    dur = 2.0
+    hop = 0.010
+    n_frames = int(dur / hop)
+    f0c = np.full(n_frames, f0)
+
+    def make(jit_a, shim_a):
+        pos, periods, amps = [], [], []
+        p = 50.0
+        while p < dur * SR - 400:
+            T = T0 * (1 + rng.uniform(-jit_a, jit_a))
+            A = 1.0 + rng.uniform(-shim_a, shim_a)
+            pos.append(p); periods.append(T); amps.append(A)
+            p += T
+        x = np.zeros(int(dur * SR))
+        k = np.hanning(33)
+        for q, A in zip(pos, amps):
+            i = int(round(q))
+            x[i - 16 : i + 17] += A * k
+        x = 0.5 * x / np.abs(x).max()
+        Ts = np.diff(np.asarray(pos))
+        true_j = np.abs(np.diff(Ts)).mean() / Ts.mean()
+        As = np.asarray(amps)
+        true_s = np.abs(np.diff(As)).mean() / As.mean()
+        return x, true_j, true_s
+
+    # clean train: jitter/shimmer ~0, logHNR saturated
+    x, _, _ = make(0.0, 0.0)
+    llds = jitter_shimmer_llds(x, SR, f0c, hop_s=hop)
+    assert llds[:, 0].mean() < 0.008
+    assert llds[:, 2].mean() < 0.01
+    assert np.median(llds[llds[:, 3] != 0, 3]) > 8
+
+    # known 3% period jitter
+    x, true_j, _ = make(0.03, 0.0)
+    llds = jitter_shimmer_llds(x, SR, f0c, hop_s=hop)
+    got_j = np.median(llds[llds[:, 0] > 0, 0])
+    assert got_j == pytest.approx(true_j, rel=0.3)
+
+    # known 12% amplitude shimmer
+    x, _, true_s = make(0.0, 0.12)
+    llds = jitter_shimmer_llds(x, SR, f0c, hop_s=hop)
+    got_s = np.median(llds[llds[:, 2] > 0, 2])
+    assert got_s == pytest.approx(true_s, rel=0.25)
+
+
 def test_device_period_marching_matches_numpy_oracle():
     """ops.jitter.mark_periods_batch (vmapped while_loop) vs the NumPy
     marching oracle: same period boundaries on clean voiced audio."""
