@@ -94,6 +94,18 @@ def test_formant_pulse_train_oracle():
     assert row["Phonation_Ratio"] > 0.8
 
 
+def test_intensity_matches_analytic_spl():
+    """mean_dB of a known-amplitude sine must equal the analytic SPL:
+    20·log10(A/√2 / 2e-5) — 0.2 amplitude → 76.99 dB (Praat reference
+    pressure 2e-5 Pa; measured error < 0.05 dB)."""
+    rng = np.random.default_rng(0)
+    t = np.arange(int(SR * 1.5)) / SR
+    x = 0.2 * np.sin(2 * np.pi * 140 * t) + 0.0005 * rng.normal(size=len(t))
+    row = extract_mshds_single(x, SR)
+    expected = 20 * np.log10(0.2 / np.sqrt(2) / 2e-5)
+    assert row["mean_dB"] == pytest.approx(expected, abs=0.3)
+
+
 def test_hnr_matches_constructed_snr():
     """HNR_dB on harmonic + white noise with a KNOWN power ratio must read
     the constructed SNR (Praat's harmonicity is exactly that for stationary
