@@ -23,8 +23,10 @@ import sys
 def _w2v2_precision_kwargs(precision: str) -> dict:
     """'strict' = f32 end to end (HF parity); 'fast' = int16 waveform
     upload + bf16 matmuls + f16 sequence download (cosine >0.9999 vs
-    strict, ~2x throughput on bandwidth-limited links)."""
-    if precision == "fast":
+    strict, ~2x throughput on bandwidth-limited links); 'fastest' = 'fast'
+    with int8 per-frame-quantized sequence download (halves the dominant
+    stream again; cosine >0.9999 vs 'fast')."""
+    if precision in ("fast", "fastest"):
         import numpy as np
 
         # batch size stays at the default 16: extraction is transfer-bound
@@ -33,7 +35,9 @@ def _w2v2_precision_kwargs(precision: str) -> dict:
         # path (measured on the tunneled v5e: bs=64 is ~30% slower)
         return {
             "compute_dtype": "bfloat16",
-            "sequence_transfer_dtype": np.float16,
+            "sequence_transfer_dtype": (
+                np.int8 if precision == "fastest" else np.float16
+            ),
             "upload_dtype": np.int16,
         }
     return {}
@@ -196,11 +200,12 @@ def main(argv=None) -> int:
              "911-feature extractor declaratively",
     )
     p.add_argument(
-        "--wav2vec2-precision", choices=("strict", "fast"), default="strict",
+        "--wav2vec2-precision", choices=("strict", "fast", "fastest"), default="strict",
         help="'strict' (default) is f32 end to end; 'fast' uses int16 "
              "waveform upload + bf16 matmuls + f16 sequence download "
              "(cosine >0.9999 vs strict, ~2x throughput on "
-             "bandwidth-limited hosts)",
+             "bandwidth-limited hosts); 'fastest' adds int8 per-frame "
+             "quantized sequence download (halves the stream again)",
     )
     p.add_argument("--force", action="store_true")
     p.add_argument("--quiet", action="store_true")
@@ -230,7 +235,7 @@ def main(argv=None) -> int:
     p.add_argument("--reference-format", action="store_true",
                    help="load a reference torch .pt checkpoint")
     p.add_argument("--wav2vec2-checkpoint", default=None)
-    p.add_argument("--wav2vec2-precision", choices=("strict", "fast"),
+    p.add_argument("--wav2vec2-precision", choices=("strict", "fast", "fastest"),
                    default="strict")
     p.set_defaults(fn=_cmd_predict)
 

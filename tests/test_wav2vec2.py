@@ -226,6 +226,45 @@ def test_reduced_precision_fast_path_close_to_f32():
     np.testing.assert_allclose(ours, theirs, atol=0.05, rtol=0.05)
 
 
+def test_int8_sequence_transfer_close_to_f32():
+    """int8 per-frame max-abs quantized sequence download ('fastest'
+    preset's transfer): values dequantize on host to within ~0.5% of the
+    strict f32 stream (quantization step = frame max / 127), handed out
+    as f32 arrays of identical shape."""
+    cfg = Wav2Vec2Config(num_layers=2)
+    rng = np.random.default_rng(12)
+    sr = 16000
+    waves = {
+        "a.wav": rng.normal(size=sr).astype(np.float32) * 0.1,
+        "b.wav": rng.normal(size=2 * sr).astype(np.float32) * 0.05,
+    }
+    base = Wav2Vec2Extractor(config=cfg, batch_size=4, allow_random_init=True)
+    q8 = Wav2Vec2Extractor(
+        params=base.params, config=cfg, batch_size=4,
+        sequence_transfer_dtype=np.int8,
+    )
+    for name in waves:
+        a = base.extract_sequences(waves, verbose=False)[name]
+        b = q8.extract_sequences(waves, verbose=False)[name]
+        assert b.dtype == np.float32
+        assert a.shape == b.shape
+        # per-frame error bound: half a quantization step (frame_max/254)
+        # plus the f16 scale's own rounding (~5e-4 relative)
+        fmax = np.abs(a).max(axis=1, keepdims=True)
+        bound = fmax / 254.0 + 1e-3 * fmax + 1e-7
+        assert (np.abs(a - b) <= bound).all()
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.9999, cos
+
+
+def test_int8_transfer_rejected_for_unknown_dtype():
+    with pytest.raises(ValueError, match="sequence_transfer_dtype"):
+        Wav2Vec2Extractor(
+            config=Wav2Vec2Config(num_layers=2), allow_random_init=True,
+            sequence_transfer_dtype=np.int32,
+        )
+
+
 def test_random_init_guard():
     """No-weights construction refuses; explicit opt-in warns and marks
     .pretrained False (VERDICT r1: the reference always runs pretrained
