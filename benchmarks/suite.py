@@ -104,9 +104,11 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
     on-device mean-pooled embeddings (nb01/SVM). The sequences number is
     transfer-bound on this rig — the chip tunnel caps at ~50 MB/s and the
     per-audio-second payload is 64 KB up + 153 KB down in f32. The headline
-    numbers use the reduced-transfer fast path (int16 upload, bf16 compute,
-    f16 sequence download: 32 KB up + 77 KB down, cosine >0.9999 vs strict —
-    tests/test_wav2vec2.py); the strict-f32 numbers are reported alongside."""
+    numbers use the reduced-transfer paths (int16 upload, bf16 compute;
+    'fast' = f16 sequence download, 32 KB up + 77 KB down; 'fastest' = int8
+    per-frame-quantized download, 32 KB up + ~39 KB down; both cosine
+    >0.9999 vs strict — tests/test_wav2vec2.py); strict-f32 numbers are
+    reported alongside."""
     import warnings
 
     from robust_speech_analysis_framework_tpu.features.wav2vec2 import Wav2Vec2Extractor
@@ -118,6 +120,10 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
         params=strict.params, batch_size=16, compute_dtype="bfloat16",
         sequence_transfer_dtype=np.float16, upload_dtype=np.int16,
     )
+    fastest = Wav2Vec2Extractor(
+        params=strict.params, batch_size=16, compute_dtype="bfloat16",
+        sequence_transfer_dtype=np.int8, upload_dtype=np.int16,
+    )
     warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
     # 3x the shared file count: at 5 s chunks/16-chunk batches the other
     # stages' corpus is only ~2 batches, which measures ramp, not the
@@ -125,19 +131,27 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
     n_files = 3 * n_files
     waves = {f"f{i}.wav": _speech(seconds, 120 + 10 * i, i) for i in range(n_files)}
     out = {"audio_seconds": n_files * seconds}
-    for label, ex in (("strict_f32", strict), ("fast", fast)):
+    for label, ex in (
+        ("strict_f32", strict), ("fast", fast), ("fastest", fastest)
+    ):
         ex.extract_sequences(warm, verbose=False)  # compile
-        ex.extract_embeddings(warm, verbose=False)
+        if label != "fastest":  # pooled path is identical to 'fast'
+            ex.extract_embeddings(warm, verbose=False)
         t0 = time.perf_counter()
         ex.extract_sequences(waves, verbose=False)
         dt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ex.extract_embeddings(waves, verbose=False)
-        dt_emb = time.perf_counter() - t0
         out[f"{label}_audio_sec_per_sec"] = n_files * seconds / dt
-        out[f"{label}_embeddings_audio_sec_per_sec"] = n_files * seconds / dt_emb
-    out["wall_seconds"] = n_files * seconds / out["fast_audio_sec_per_sec"]
-    out["audio_sec_per_sec"] = out["fast_audio_sec_per_sec"]
+        if label != "fastest":
+            t0 = time.perf_counter()
+            ex.extract_embeddings(waves, verbose=False)
+            dt_emb = time.perf_counter() - t0
+            out[f"{label}_embeddings_audio_sec_per_sec"] = (
+                n_files * seconds / dt_emb
+            )
+    # headline sequence number: the fastest lossy-transfer mode (int8,
+    # cosine >0.9999); strict/fast reported alongside
+    out["wall_seconds"] = n_files * seconds / out["fastest_audio_sec_per_sec"]
+    out["audio_sec_per_sec"] = out["fastest_audio_sec_per_sec"]
     out["embeddings_audio_sec_per_sec"] = out["fast_embeddings_audio_sec_per_sec"]
     return out
 
