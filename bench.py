@@ -28,7 +28,39 @@ BATCH = 128
 REPS = 5
 
 
+def _backend_alive(timeout_s: float = 240.0) -> bool:
+    """Probe the device backend in a SUBPROCESS with a hard deadline.
+
+    The tunneled TPU backend can wedge so hard that even ``jax.devices()``
+    blocks forever (observed: multi-hour outages); without this probe a
+    driver-run bench hangs instead of failing. A healthy backend completes
+    the tiny matmul (including first-compile) well inside the deadline."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "print(float(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        print(
+            "bench.py: device backend unresponsive (probe matmul did not "
+            "complete in 240 s) — refusing to hang. Re-run when the "
+            "TPU tunnel recovers.",
+            file=sys.stderr,
+        )
+        return 1
+
     import jax
     import jax.numpy as jnp
 
@@ -83,4 +115,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
