@@ -118,6 +118,12 @@ class OpenSmileExtractor:
         self._melfb = mel_filterbank(
             cfg.n_mels, cfg.fft_size, cfg.sample_rate, cfg.fmin, cfg.fmax
         )
+        # voicing needs an ALIAS-FREE frame autocorrelation up to
+        # sr/min_pitch lags: the shared cfg.fft_size STFT only covers
+        # fft_size - frame_len lags (112 @ 512/400 -> pitches >= ~143 Hz),
+        # so a dedicated wider power spectrum feeds _voicing_from_power
+        max_lag = int(cfg.sample_rate / config.shs.min_pitch)
+        self._voicing_nfft = 1 << (cfg.frame_len + max_lag).bit_length()
         self._frame_stage = jax.jit(self._frame_stage_impl)
         self._summary_stage = jax.jit(self._summary_stage_impl)
         self._frame_stage_batch = jax.jit(jax.vmap(self._frame_stage_impl))
@@ -140,7 +146,10 @@ class OpenSmileExtractor:
         zcr = zero_crossing_rate(raw)
         inten = intensity_loudness(win)
         spect = spectral_llds(mag, float(cfg.sample_rate))
-        return mag, mfcc, energy, zcr, inten, spect
+        from ..ops.dft import rfft_power
+
+        vpow = rfft_power(win, self._voicing_nfft)
+        return mag, mfcc, energy, zcr, inten, spect, vpow
 
     def _assemble_summary_impl(
         self, energy, mfcc, zcr, f0, voicing, inten, vq, spect, lengths
@@ -198,13 +207,14 @@ class OpenSmileExtractor:
         if n_pad_samples != len(x):
             x = np.pad(x, (0, n_pad_samples - len(x)))
         xj = jnp.asarray(x)
-        mag, mfcc, energy, zcr, inten, spect = self._frame_stage(xj)
+        mag, mfcc, energy, zcr, inten, spect, vpow = self._frame_stage(xj)
         # SHS + Viterbi run on the padded frames (zero tail = silence, which
         # the energy gate zeroes anyway) so their jits also see one shape per
         # bucket; everything is sliced to the true frame count afterwards.
         f0, voicing = shs_pitch(
             np.asarray(mag), cfg.sample_rate, np.asarray(energy),
             self.config.shs, self.config.energy_gate,
+            win_len=cfg.frame_len, voicing_power=vpow,
         )
         f0, voicing = f0[:n_true], voicing[:n_true]
         energy_np = np.asarray(energy)[:n_true]
@@ -349,10 +359,13 @@ class OpenSmileExtractor:
         # ONE upload, shared with the march; int16 over the tunnel when the
         # audio is 16-bit-PCM-derived (half the bytes, bit-identical).
         stack_j = upload_pcm_f32(stack)
-        mag, mfcc, energy, zcr, inten, spect = self._frame_stage_batch(stack_j)
+        mag, mfcc, energy, zcr, inten, spect, vpow = self._frame_stage_batch(
+            stack_j
+        )
         f0_dev, voicing_dev = shs_pitch_batch(
             mag, cfg.sample_rate, energy, self.config.shs,
             self.config.energy_gate, as_device=True,
+            win_len=cfg.frame_len, voicing_power=vpow,
         )
         nts = [int(v) for v in n_frames_true]
         try:

@@ -139,12 +139,20 @@ def shs_candidates(
     return freqs, scores
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _voicing_from_mag(
-    mag: jnp.ndarray, sr: float, min_pitch: float, win_len: int = 0
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _voicing_from_power(
+    power: jnp.ndarray, sr: float, min_pitch: float, win_len: int = 0
 ) -> jnp.ndarray:
     """Voicing probability per frame from the normalized autocorrelation,
-    recovered from the magnitude spectrum (Wiener–Khinchin: r = irfft(|S|²)).
+    recovered from a power spectrum (Wiener–Khinchin: r = irfft(|S|²)).
+
+    ``power`` should come from a transform with n_fft ≥ win_len + sr/min_pitch
+    (the extractor computes a dedicated wide one): the irfft of an n_fft-point
+    power spectrum is the frame's CIRCULAR autocorrelation, alias-free only
+    for lags ≤ n_fft − win_len — with the shared 512-point STFT of 400-sample
+    frames, every lag past 112 samples (pitches below ~143 Hz) folds in
+    wrap-around products. With a narrow input the wrapped region is used
+    as-is (legacy behavior) and low-pitch voicing is approximate.
 
     The raw r(τ)/r(0) of a WINDOWED frame is depressed by the window's own
     taper — Hamming alone caps a 120 Hz frame (lag 133 @ 16 kHz) at ~0.54,
@@ -158,8 +166,7 @@ def _voicing_from_mag(
     from .dft import autocorr_via_power
     from ..audio.frontend import hamming_window
 
-    power = mag * mag
-    n_fft = 2 * (mag.shape[1] - 1)
+    n_fft = 2 * (power.shape[1] - 1)
     max_lag = int(sr / min_pitch)
     r = autocorr_via_power(power, n_fft, max_lag + 1)
     r0 = jnp.maximum(r[:, :1], 1e-30)
@@ -172,6 +179,12 @@ def _voicing_from_mag(
     div = np.maximum(rw_ratio[lags], rw_ratio[W // 2]).astype(np.float32)
     band = band / jnp.asarray(div)
     return jnp.clip(jnp.max(band, axis=1), 0.0, 1.0)
+
+
+def _voicing_from_mag(
+    mag: jnp.ndarray, sr: float, min_pitch: float, win_len: int = 0
+) -> jnp.ndarray:
+    return _voicing_from_power(mag * mag, sr, min_pitch, win_len)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -283,11 +296,18 @@ def shs_pitch(
     frame_rms: np.ndarray,
     params: ShsParams = ShsParams(),
     energy_threshold: float = 0.001,
+    win_len: int = 0,
+    voicing_power: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full chain: octave scale → SHS → Viterbi → energy gate.
 
     mag: (T, F) magnitude spectrum; frame_rms: (T,) RMS energies for the
-    cValbasedSelector gate. Returns (F0final (T,), voicingFinalUnclipped (T,)).
+    cValbasedSelector gate; win_len: the analysis window length ``mag``
+    was framed with (0 → assume 25 ms), needed for the voicing taper
+    correction; voicing_power: optional (T, F') power spectrum from a WIDE
+    transform (n_fft ≥ win_len + sr/min_pitch) for alias-free voicing at
+    low pitches (see _voicing_from_power) — defaults to mag².
+    Returns (F0final (T,), voicingFinalUnclipped (T,)).
     """
     mag = jnp.asarray(mag)
     n_points = mag.shape[1]
@@ -304,12 +324,19 @@ def shs_pitch(
         params.n_candidates,
         (params.min_pitch, params.max_pitch),
     )
-    voicing = _voicing_from_mag(mag, float(sr), float(params.min_pitch))
+    vp = mag * mag if voicing_power is None else jnp.asarray(voicing_power)
+    voicing = _voicing_from_power(
+        vp, float(sr), float(params.min_pitch), win_len
+    )
     f0, voc = viterbi_smooth(freqs, scores, voicing, params)
     f0 = np.asarray(f0)
     voc = np.asarray(voc)
+    # cValbasedSelector has zeroVec=1 (Androids.conf:216-227): frames under
+    # the energy threshold zero the WHOLE vector — voicing included, not
+    # just F0 (low-level hum autocorrelates near 1.0 and would otherwise
+    # leak into all 24 voicingFinalUnclipped functionals)
     gate = np.asarray(frame_rms) >= energy_threshold
-    return np.where(gate, f0, 0.0), voc
+    return np.where(gate, f0, 0.0), np.where(gate, voc, 0.0)
 
 
 def shs_pitch_batch(
@@ -319,6 +346,8 @@ def shs_pitch_batch(
     params: ShsParams = ShsParams(),
     energy_threshold: float = 0.001,
     as_device: bool = False,
+    win_len: int = 0,
+    voicing_power: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched :func:`shs_pitch`: mag (N, T, F), frame_rms (N, T) →
     (F0 (N, T), voicing (N, T)). All stages vmapped; one compiled program
@@ -327,9 +356,10 @@ def shs_pitch_batch(
     jitter march, the LLD assembly) can chain without a host round trip."""
     mag = jnp.asarray(mag)
     n_points = mag.shape[-1]
+    vp = mag * mag if voicing_power is None else jnp.asarray(voicing_power)
     f0, voc = _shs_batched_jit(params, float(sr), n_points,
-                               float(energy_threshold))(
-        mag, jnp.asarray(frame_rms)
+                               float(energy_threshold), int(win_len))(
+        mag, jnp.asarray(frame_rms), vp
     )
     if as_device:
         return f0, voc
@@ -338,7 +368,7 @@ def shs_pitch_batch(
 
 @lru_cache(maxsize=32)
 def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
-                     energy_threshold: float):
+                     energy_threshold: float, win_len: int = 0):
     """One cached jitted chain per (params, sr, n_points, threshold) — a
     fresh ``jax.jit(closure)`` per call would retrace and reload the
     compiled program from the persistent cache every invocation (~0.65 s
@@ -348,7 +378,7 @@ def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
 
     use_pallas = viterbi_pallas_available()
 
-    def prep(m, rms):
+    def prep(m, rms, vp):
         s_oct = octave_scale_spectrum(
             m, sr, float(params.min_f_scale), n_points
         )
@@ -356,14 +386,14 @@ def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
             s_oct, log_min, dlog, params.n_harmonics, params.compression,
             params.n_candidates, (params.min_pitch, params.max_pitch),
         )
-        voicing = _voicing_from_mag(m, sr, float(params.min_pitch))
+        voicing = _voicing_from_power(vp, sr, float(params.min_pitch), win_len)
         local, states_f, is_voiced = _viterbi_state_inputs(
             freqs, scores, voicing, params
         )
         return local, states_f, is_voiced, voicing
 
-    def batched(mag_b, rms_b):
-        local, states_f, is_voiced, voicing = jax.vmap(prep)(mag_b, rms_b)
+    def batched(mag_b, rms_b, vp_b):
+        local, states_f, is_voiced, voicing = jax.vmap(prep)(mag_b, rms_b, vp_b)
         c = local.shape[-1] - 1  # voiced candidate count
         if local.shape[1] == 1:
             path = jnp.argmin(local[:, 0], axis=-1)[:, None]
@@ -389,6 +419,8 @@ def _shs_batched_jit(params: ShsParams, sr: float, n_points: int,
             )[..., 0],
             0.0,
         )
-        return jnp.where(rms_b >= energy_threshold, f0, 0.0), voicing
+        # cValbasedSelector zeroVec=1: the gate zeroes voicing too
+        gate = rms_b >= energy_threshold
+        return jnp.where(gate, f0, 0.0), jnp.where(gate, voicing, 0.0)
 
     return jax.jit(batched)

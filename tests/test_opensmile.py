@@ -130,7 +130,10 @@ def test_extract_llds_marks_preemphasized_voiced_frames():
 
     rng = np.random.default_rng(0)
     t = np.arange(int(1.2 * SR)) / SR
-    for f0 in (100.0, 140.0, 220.0):
+    # 80 and 100 Hz sit in the band the shared 512-point STFT cannot
+    # cover alias-free (lags > n_fft - frame_len): they exercise the
+    # dedicated wide voicing transform
+    for f0 in (80.0, 100.0, 140.0, 220.0):
         v = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 12))
         x = 0.3 * v / np.abs(v).max() + 0.0005 * rng.normal(size=len(t))
         llds = np.asarray(OpenSmileExtractor().extract_llds(x))
