@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Mapping, Optional
+from typing import Dict, List, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,12 +46,7 @@ from ..audio.frontend import (
     preemphasize,
     stft_magnitude,
 )
-from ..ops.functionals import (
-    FUNCTIONAL_NAMES,
-    apply_functionals,
-    delta_regression,
-    smooth_sma,
-)
+from ..ops.functionals import FUNCTIONAL_NAMES
 from ..ops.jitter import jitter_shimmer_llds
 from ..ops.lld_spectral import (
     SPECTRAL_NAMES,
@@ -72,9 +67,37 @@ LLD_NAMES: List[str] = (
 )  # 16 + 6 + 16 = 38
 
 
+# contour-smoother levels lld / lld2 / lld3 (Androids.conf:284-314) as
+# slices of LLD_NAMES; cFunctionals reads lld;lld_de;lld2;lld_de2;lld3;
+# lld_de3 (:350), so emission interleaves each group's sma and de blocks
+_GROUP_SLICES = ((0, 16), (16, 22), (22, 38))
+
+
+def _emission_order() -> List[Tuple[int, int, str]]:
+    """(start, stop, suffix) blocks in the conf's cFunctionals reader order."""
+    return [
+        (a, b, suffix)
+        for a, b in _GROUP_SLICES
+        for suffix in ("_sma", "_sma_de")
+    ]
+
+
+def _functional_vec(f_sma: np.ndarray, f_de: np.ndarray) -> np.ndarray:
+    """(12, 38) sma/de functional matrices → flat 912 vector in the conf's
+    emission order (matches :func:`feature_columns`)."""
+    sma_t, de_t = np.asarray(f_sma).T, np.asarray(f_de).T  # (38, 12)
+    parts = []
+    for a, b, suffix in _emission_order():
+        src = sma_t if suffix == "_sma" else de_t
+        parts.append(src[a:b].reshape(-1))
+    return np.concatenate(parts)
+
+
 def feature_columns(reference_compat: bool = False) -> List[str]:
-    """Output column names in openSMILE order (per-LLD: sma functionals for
-    every LLD group, then delta functionals).
+    """Output column names in openSMILE emission order: per smoother group,
+    the group's sma functionals then its delta functionals (cFunctionals
+    reader ``lld;lld_de;lld2;lld_de2;lld3;lld_de3``, Androids.conf:350);
+    within a block, per LLD, the 12 functionals.
 
     ``reference_compat=True`` reproduces the reference's observed 911-column
     schema: its loader drops the CSV's first column assuming it is the
@@ -84,8 +107,8 @@ def feature_columns(reference_compat: bool = False) -> List[str]:
     (111×911 / 109×1822 / 109×2733, nb02 cell 2) depend on it. Default is the
     complete 912-column native schema."""
     cols = []
-    for suffix in ("_sma", "_sma_de"):
-        for lld in LLD_NAMES:
+    for a, b, suffix in _emission_order():
+        for lld in LLD_NAMES[a:b]:
             for fn in FUNCTIONAL_NAMES:
                 cols.append(f"{lld}{suffix}_{fn}")
     return cols[1:] if reference_compat else cols
@@ -165,15 +188,11 @@ class OpenSmileExtractor:
             ],
             axis=-1,
         ).astype(jnp.float32)
-        # Edge-replicate past each file's true frame count — the serial
-        # path pads its trimmed LLD matrix with pad_frames(mode='edge'), and
-        # boundary smoothing windows see those values, so the batched path
-        # must present identical padding to match it.
-        t = lld.shape[1]
-        idx = jnp.minimum(
-            jnp.arange(t)[None, :], jnp.maximum(lengths[:, None] - 1, 0)
-        )
-        lld = jnp.take_along_axis(lld, idx[:, :, None], axis=1)
+        # No padding normalization is needed before the summary stage:
+        # smooth_sma_masked zeroes + count-renormalizes past ``length``,
+        # delta_regression_masked clamps its reads to length−1, and
+        # apply_functionals_masked masks — rows ≥ length never contribute,
+        # whatever the bucket padding left there.
         return jax.vmap(self._summary_stage_impl)(lld, lengths)
 
     def _summary_stage_impl(self, lld: jnp.ndarray, length: jnp.ndarray):
@@ -251,10 +270,8 @@ class OpenSmileExtractor:
         f_sma, f_de = self._summary_stage(
             jnp.asarray(lld_pad), jnp.asarray(n_true, jnp.int32)
         )
-        # (12, 38) each → column order: per stream, per LLD, per functional
-        return np.concatenate(
-            [np.asarray(f_sma).T.reshape(-1), np.asarray(f_de).T.reshape(-1)]
-        )
+        # (12, 38) each → conf emission order (see _emission_order)
+        return _functional_vec(np.asarray(f_sma), np.asarray(f_de))
 
     def extract_batch(
         self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
@@ -280,6 +297,16 @@ class OpenSmileExtractor:
         groups: Dict[int, List[Tuple[str, np.ndarray]]] = {}
         for name, x in waveforms.items():
             x = np.asarray(x, np.float32).reshape(-1)
+            if num_frames(len(x), cfg.frame_len, cfg.hop) < 1:
+                # serial-path semantics: a sub-frame clip is dropped with a
+                # logged error (the masked functionals would otherwise emit
+                # a row of ±inf max/min for a zero-length contour)
+                if verbose:
+                    print(
+                        f"ERROR: '{name}' shorter than one analysis frame "
+                        f"({len(x)} samples); row dropped."
+                    )
+                continue
             b = bucket_size(len(x), min_bucket=cfg.sample_rate // 2)
             groups.setdefault(b, []).append((name, x))
 
@@ -404,7 +431,7 @@ class OpenSmileExtractor:
     def _rows_from_functionals(self, names, f_sma, f_de, cols):
         rows = []
         for i, name in enumerate(names):
-            vec = np.concatenate([f_sma[i].T.reshape(-1), f_de[i].T.reshape(-1)])
+            vec = _functional_vec(f_sma[i], f_de[i])
             if self.config.reference_compat:
                 vec = vec[1:]
             row = dict(zip(cols, vec.tolist()))
@@ -460,6 +487,17 @@ def extract_opensmile_features(
     wavs: Dict[str, np.ndarray] = {}
     for path in input_df[audio_file_column]:
         name = os.path.basename(path)
+        if name in wavs:
+            # two rows sharing a basename would silently collapse to one
+            # output row (the reference emits one row per input row, keyed
+            # by instname=basename) — surface it instead of losing a file
+            if verbose:
+                print(
+                    f"ERROR: duplicate basename '{name}' "
+                    f"(from '{path}'); row dropped — filenames must be "
+                    "unique (reference keys rows by basename)."
+                )
+            continue
         if waveforms is not None and name in waveforms:
             wavs[name] = np.asarray(waveforms[name])
             continue

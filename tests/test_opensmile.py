@@ -178,6 +178,63 @@ def test_column_count_and_names():
     assert "fftMag_spectralFlux_sma_linregerrQ" in cols
 
 
+def test_column_emission_order_matches_conf_reader():
+    """Positional parity: cFunctionals reads lld;lld_de;lld2;lld_de2;lld3;
+    lld_de3 (Androids.conf:350), so each smoother group's sma block is
+    followed by ITS delta block — not all sma then all de. The reference's
+    911-column datasets are consumed positionally after dropping column 0,
+    so block boundaries are pinned here."""
+    cols = feature_columns()
+    assert cols[0] == "pcm_RMSenergy_sma_max"  # group1 sma
+    assert cols[192] == "pcm_RMSenergy_sma_de_max"  # group1 de
+    assert cols[384] == "pcm_intensity_sma_max"  # group2 sma
+    assert cols[456] == "pcm_intensity_sma_de_max"  # group2 de
+    assert cols[528] == "fftMag_spectralEnergyInBand250-650_sma_max"
+    assert cols[720] == "fftMag_spectralEnergyInBand250-650_sma_de_max"
+    # value vector must align with the names: F0final_sma_amean at its
+    # position equals the mean of the smoothed F0 contour
+    from robust_speech_analysis_framework_tpu.features.opensmile import (
+        LLD_NAMES as names,
+        OpenSmileExtractor,
+    )
+
+    ex = OpenSmileExtractor()
+    x = _voiced_pulsed(1.0)
+    vec = np.asarray(ex.extract_single(x))
+    llds = np.asarray(ex.extract_llds(x))
+    f0 = llds[:, names.index("F0final")]
+    # sma window 3, edge-renormalized: mean is unchanged up to edges
+    got = vec[cols.index("F0final_sma_amean")]
+    assert got == pytest.approx(f0.mean(), rel=0.02)
+    inten = llds[:, names.index("pcm_intensity")]
+    got_i = vec[cols.index("pcm_intensity_sma_amean")]
+    assert got_i == pytest.approx(inten.mean(), rel=0.02)
+
+
+def test_extract_batch_drops_subframe_clips_and_duplicate_basenames(tmp_path):
+    """A clip shorter than one 25 ms analysis frame must be DROPPED (serial
+    semantics) — the masked functionals would otherwise emit a row of ±inf
+    max/min — and duplicate basenames must not silently collapse rows."""
+    import pandas as pd
+    from robust_speech_analysis_framework_tpu.audio.io import write_wav
+
+    ex = OpenSmileExtractor()
+    out = ex.extract_batch(
+        {"ok.wav": _voiced_pulsed(0.8), "tiny.wav": np.zeros(100, np.float32)},
+        verbose=False,
+    )
+    assert list(out["filename"]) == ["ok.wav"]
+    assert np.isfinite(out.drop(columns="filename").to_numpy()).all()
+
+    a = tmp_path / "a"; b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    write_wav(str(a / "rec.wav"), _voiced_pulsed(0.8), SR)
+    write_wav(str(b / "rec.wav"), _voiced_pulsed(0.9), SR)
+    df_in = pd.DataFrame({"filepath": [str(a / "rec.wav"), str(b / "rec.wav")]})
+    out = extract_opensmile_features(df_in, verbose=False)
+    assert len(out) == 1  # second duplicate dropped loudly, not merged
+
+
 def test_extract_single_finite():
     ex = OpenSmileExtractor()
     vec = ex.extract_single(_voiced_pulsed())
