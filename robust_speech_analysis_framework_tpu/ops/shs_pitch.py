@@ -53,6 +53,44 @@ def octave_grid(sr: float, min_f: float, n_points: int) -> Tuple[float, float]:
     return log_min, (log_max - log_min) / (n_points - 1)
 
 
+@lru_cache(maxsize=16)
+def _spline_interp_matrix(n_bins: int, pos_key: Tuple[float, ...]) -> np.ndarray:
+    """Natural-cubic-spline interpolation MATRIX from a uniform source grid
+    (bin coordinates 0..n_bins−1) to the points in ``pos_key``.
+
+    A natural cubic spline is linear in the data, so S with
+    spline(y)(pos) = S @ y exists; openSMILE's cSpecScale uses spline
+    interpolation (Androids.conf:153 ``interpMethod = spline``), and as a
+    matrix the whole scale transform is one GEMM on the MXU instead of
+    gathers. Built once per (n_bins, grid) and cached.
+    """
+    n = n_bins
+    pos = np.asarray(pos_key, dtype=np.float64)
+    # second-derivative operator: natural BCs (m_0 = m_{n-1} = 0);
+    # interior rows solve m_{j-1} + 4 m_j + m_{j+1} = 6·Δ²y (unit spacing)
+    a = np.zeros((n - 2, n - 2))
+    np.fill_diagonal(a, 4.0)
+    np.fill_diagonal(a[1:], 1.0)
+    np.fill_diagonal(a[:, 1:], 1.0)
+    d2 = np.zeros((n - 2, n))
+    rows = np.arange(n - 2)
+    d2[rows, rows] = 6.0
+    d2[rows, rows + 1] = -12.0
+    d2[rows, rows + 2] = 6.0
+    m_full = np.zeros((n, n))
+    m_full[1:-1] = np.linalg.solve(a, d2)  # (n, n): y -> second derivatives
+    j = np.clip(pos.astype(int), 0, n - 2)
+    u = pos - j
+    s = np.zeros((len(pos), n))
+    rows = np.arange(len(pos))
+    s[rows, j] += 1.0 - u
+    s[rows, j + 1] += u
+    cu = ((1.0 - u) ** 3 - (1.0 - u)) / 6.0
+    cl = (u**3 - u) / 6.0
+    s += cu[:, None] * m_full[j] + cl[:, None] * m_full[j + 1]
+    return s.astype(np.float32)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def octave_scale_spectrum(
     mag: jnp.ndarray, sr: float, min_f: float, n_points: int
@@ -60,19 +98,24 @@ def octave_scale_spectrum(
     """Interpolate (T, F) magnitude onto a log2-frequency grid.
 
     Grid point i sits at frequency 2^(log2_min + i·dlog) per
-    :func:`octave_grid`. Includes openSMILE's smoothing (3-point moving
+    :func:`octave_grid`. Matches cSpecScale (Androids.conf:142-159):
+    natural-cubic-SPLINE interpolation (as one GEMM — see
+    :func:`_spline_interp_matrix`), spectral smoothing (3-point moving
     average) and peak enhancement (subtract local average, clip ≥0).
+    Known gap: ``auditoryWeighting = 1`` (:159) is not applied — openSMILE
+    weights the octave spectrum with Hermes' auditory sensitivity curve
+    before SHS; its exact curve cannot be validated without a real
+    SMILExtract run, so candidate SCORES differ slightly from the
+    reference's (peak LOCATIONS, which drive F0, are unaffected by a
+    smooth positive weighting within a candidate's neighborhood).
     """
     t, n_bins = mag.shape
     freqs = np.arange(n_bins) * (sr / 2.0) / (n_bins - 1)
     log_min, dlog = octave_grid(sr, min_f, n_points)
     grid_f = 2.0 ** (log_min + np.arange(n_points) * dlog)
-    # linear interpolation indices
     pos = np.interp(grid_f, freqs, np.arange(n_bins))
-    i0 = np.clip(pos.astype(int), 0, n_bins - 2)
-    w = jnp.asarray(pos - i0)
-    i0 = jnp.asarray(i0)
-    s = mag[:, i0] * (1 - w)[None, :] + mag[:, i0 + 1] * w[None, :]
+    s_mat = _spline_interp_matrix(n_bins, tuple(pos.tolist()))
+    s = jnp.maximum(mag @ jnp.asarray(s_mat).T, 0.0)
     # smoothing: centered 3-point moving average
     sm = (
         jnp.concatenate([s[:, :1], s[:, :-1]], axis=1)

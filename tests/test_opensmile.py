@@ -144,6 +144,25 @@ def test_extract_llds_marks_preemphasized_voiced_frames():
         assert np.median(f0c[f0c > 0]) == pytest.approx(f0, rel=0.02)
 
 
+def test_spline_interp_matrix_matches_scipy_natural_spline():
+    """The GEMM-form spectrum interpolation (cSpecScale interpMethod=spline)
+    must equal scipy's natural cubic spline at arbitrary points."""
+    from scipy.interpolate import CubicSpline
+
+    from robust_speech_analysis_framework_tpu.ops.shs_pitch import (
+        _spline_interp_matrix,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 65
+    y = rng.normal(size=n)
+    pos = np.sort(rng.uniform(0, n - 1, size=40))
+    s = _spline_interp_matrix(n, tuple(pos.tolist()))
+    got = s @ y
+    ref = CubicSpline(np.arange(n), y, bc_type="natural")(pos)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_shs_pitch_on_harmonic():
     from robust_speech_analysis_framework_tpu.audio.frontend import (
         FrontendConfig, framed_stft, preemphasize, hamming_window)
