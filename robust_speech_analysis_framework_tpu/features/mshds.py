@@ -257,13 +257,17 @@ def _extract_corpus(
         return rows
 
     # One device upload for all 16 kHz analysis stages: pad covers the
-    # largest window+lag extension used below (speech-rate pitch at
-    # floor 30 Hz -> ext 2136 samples). Offsets are aligned to the
-    # 10 kHz-resample down-factor so the formant/cepstrum buffer can be
-    # produced on device by resampling this one (no second upload).
+    # largest window+lag extension used below, which scales with sr — the
+    # range-adapted intensity window is 6.4/50·sr and harmonicity-cc needs
+    # (4.5+1)/60·sr, so a fixed 4096 only covers sr ≤ ~32 kHz (at 48 kHz
+    # every HNR/intensity stage raised and NaN'd the whole corpus).
+    # Offsets are aligned to the 10 kHz-resample down-factor so the
+    # formant/cepstrum buffer can be produced on device by resampling this
+    # one (no second upload).
     _g = math.gcd(10000, int(round(sr)))
     _up, _down = 10000 // _g, int(round(sr)) // _g
-    buf16 = corpus_buffer(xs, pad=4096, align=_down)
+    pad16 = max(4096, int(0.14 * sr) + 64)
+    buf16 = corpus_buffer(xs, pad=pad16, align=_down)
 
     # Three dispatch→collect levels (see _Level): stages inside a level are
     # independent and fetch together with one overlapped transfer.

@@ -37,7 +37,7 @@ def burg_coeffs(frames: jnp.ndarray, order: int) -> jnp.ndarray:
     x[t] ≈ −Σ a[k]·x[t−1−k] (sign convention: polynomial 1 + Σ a_k z^-k).
     """
     n, L = frames.shape
-    ef = frames.astype(jnp.float64) if frames.dtype == jnp.float64 else frames
+    ef = frames  # runs at the caller's dtype (f32 on device; f64 host oracle)
     eb = ef
     a = jnp.zeros((n, order), ef.dtype)
     idx = jnp.arange(L)

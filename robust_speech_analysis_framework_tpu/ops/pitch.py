@@ -15,7 +15,8 @@ and the harmonics-to-noise ratio of a sampled sound":
    ``R = r − octave_cost·log2(floor·τ)``, plus an unvoiced candidate scored
    from the local/global peak ratio and the voicing/silence thresholds;
 4. Viterbi smoothing over frames (``lax.scan``) with octave-jump and
-   voiced/unvoiced transition costs (scaled by time_step/0.01 as Praat does).
+   voiced/unvoiced transition costs (scaled by 0.01/time_step as Praat's
+   Pitch_pathFinder does — denser grids penalize each transition more).
 
 The whole pipeline is one jitted program per (n_samples-bucket, params);
 frame work is data-parallel, only the final Viterbi is a sequential scan.
@@ -224,7 +225,7 @@ def _viterbi(
     depth. Every frame's winner is then argmin_j c_t[j] + d_t[j] — a state
     on a globally optimal path — with no sequential backtracking. Same cost
     model as Praat's path finder (octave-jump + voiced/unvoiced transition
-    costs scaled by dt/0.01, minus per-candidate strengths); only the
+    costs scaled by 0.01/dt, minus per-candidate strengths); only the
     floating-point summation order differs from the sequential version, so
     argmins can flip only on exact near-ties.
     """
@@ -357,8 +358,22 @@ def _pitch_track(x: np.ndarray, sr: float, params: PitchParams) -> PitchTrack:
     # Drop voiced candidates above the ceiling.
     over = (freqs > params.ceiling)
     strengths = jnp.where(over, -1e30, strengths)
+    # Neutralize the bucket-padding frames so the path through REAL frames
+    # is padding-invariant: phantom frames edge-replicate the last frame,
+    # so zeroing their strengths makes the optimal completion from every
+    # real tail state exactly 0 (stay on the same candidate, jump cost 0,
+    # no reward) — otherwise near-tie tail decisions flipped with the
+    # distance to the next bucket boundary.
+    strengths = jnp.where(
+        jnp.arange(strengths.shape[0])[:, None] < n_frames, strengths, 0.0
+    )
 
-    trans_scale = jnp.asarray(dt / 0.01)  # Praat cost normalization
+    # Praat's time-step correction (Pitch_pathFinder): octaveJumpCost and
+    # voicedUnvoicedCost are multiplied by 0.01/dx — a DENSER frame grid
+    # has more transitions per second, so each one must cost MORE to keep
+    # the per-second penalty constant. (Was inverted as dt/0.01: at the
+    # 5 ms MSHDS step that made jump/voicing flips 4x too cheap.)
+    trans_scale = jnp.asarray(0.01 / dt)
     path = _viterbi(
         freqs,
         strengths,
@@ -453,23 +468,19 @@ def _gathered_crosscorr(x_cat, starts, ext, win_len_max_lag):
     return _forward_crosscorr(gather_frames(x_cat, starts, ext), win_len, max_lag)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _viterbi_batch(freqs, strengths, trans_scale, costs):
-    """vmapped :func:`_viterbi` over (N, T, C) candidate stacks."""
-    return jax.vmap(lambda f, s: _viterbi(f, s, trans_scale, costs))(
-        freqs, strengths
-    )
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6))
-def _select_tracks(freqs, strengths, rvals, gather_idx, trans_scale, costs,
-                   use_pallas=False):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _select_tracks(freqs, strengths, rvals, gather_idx, lengths, trans_scale,
+                   costs, use_pallas=False):
     """Corpus-wide candidate rows → per-file (f0, strength) tracks, entirely
     on device: gather each file's frame rows into a padded (B, T, C) stack
     (padding rows edge-replicate the file's last frame, matching the
     single-file path's pad_frames convention), run the batched Viterbi, and
     pick the winning candidate per frame. Returns one stacked (2, B, T)
     array so the host needs a single device→host transfer.
+
+    ``lengths`` (B,) true frame counts: strengths past a file's length are
+    zeroed so the phantom (edge-replicated) frames cannot influence the
+    path through real frames (see the same masking in _pitch_track).
 
     On TPU (``use_pallas``) the path finder is the sequential Pallas kernel
     (ops.pallas.viterbi): the associative-scan form materializes (T, C, C)
@@ -478,6 +489,10 @@ def _select_tracks(freqs, strengths, rvals, gather_idx, trans_scale, costs,
     fp = freqs[gather_idx]
     sp = strengths[gather_idx]
     rp = rvals[gather_idx]
+    sp = jnp.where(
+        jnp.arange(fp.shape[1])[None, :, None] < lengths[:, None, None],
+        sp, 0.0,
+    )
     if use_pallas:
         from .pallas.viterbi import viterbi_path_pallas
 
@@ -575,9 +590,12 @@ def pitch_track_batch_shared(
         else:
             base = int(buf.offsets[idxs[k]])
         if params.method == "cc":
+            # match the serial path: trailing frames shift LEFT so the
+            # whole win+lag extension reads real samples (clipping only to
+            # len(x) read the zero pad and diverged on file tails)
             starts = np.clip(
                 np.round(centers * sr - win_len / 2).astype(int),
-                0, max(len(x), 0),
+                0, max(len(x) - ext, 0),
             )
         else:
             starts = np.clip(
@@ -597,8 +615,8 @@ def pitch_track_batch_shared(
         buf.x_cat if buf is not None else jnp.asarray(np.concatenate(cat_pieces))
     )
     all_starts = np.concatenate(start_blocks)
-    # Bucket the frame count; padded rows re-gather the first frame (results
-    # for them are discarded when splitting per file below).
+    # Bucket the frame count; pad_frames edge-replicates the LAST start
+    # (results for padded rows are discarded when splitting per file below).
     starts_padded, n_total = pad_frames(all_starts.astype(np.int32)[:, None])
     starts_j = jnp.asarray(starts_padded[:, 0])
     if params.method == "cc":
@@ -630,16 +648,19 @@ def pitch_track_batch_shared(
     t_max = pad_frames(np.zeros((max(lengths), 1)))[0].shape[0]
     b_pad = -(-len(live) // _SLAB) * _SLAB
     gather_idx = np.zeros((b_pad, t_max), np.int32)
+    file_lens = np.zeros(b_pad, np.int32)
     offset = 0
     for j, i in enumerate(live):
         n_i = metas[i][0]
         gather_idx[j] = offset + np.minimum(np.arange(t_max), n_i - 1)
+        file_lens[j] = n_i
         offset += n_i
     gather_slabs = [
-        jnp.asarray(gather_idx[s : s + _SLAB])
+        (jnp.asarray(gather_idx[s : s + _SLAB]),
+         jnp.asarray(file_lens[s : s + _SLAB]))
         for s in range(0, b_pad, _SLAB)
     ]
-    trans_scale = float(dt / 0.01)
+    trans_scale = float(0.01 / dt)  # Praat: costs *= 0.01/dx (see _pitch_track)
 
     from .framing import Deferred
     from .pallas.viterbi import viterbi_pallas_available
@@ -657,11 +678,11 @@ def pitch_track_batch_shared(
         strengths = jnp.where(freqs > p.ceiling, -1e30, strengths)
         f0_st_devs.append([
             _select_tracks(
-                freqs, strengths, rvals, g, trans_scale,
+                freqs, strengths, rvals, g, lens, trans_scale,
                 (float(p.octave_jump_cost), float(p.voiced_unvoiced_cost)),
                 use_pallas,
             )
-            for g in gather_slabs
+            for g, lens in gather_slabs
         ])
 
     def _finalize(f0_st_list):

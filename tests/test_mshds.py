@@ -94,6 +94,27 @@ def test_formant_pulse_train_oracle():
     assert row["Phonation_Ratio"] > 0.8
 
 
+def test_batch_extraction_at_48k_sample_rate():
+    """The shared corpus-buffer pad must scale with sr: the range-adapted
+    intensity window (6.4/50·sr) and harmonicity extension ((4.5+1)/60·sr)
+    exceed the old fixed 4096-sample pad above ~32 kHz, which made every
+    HNR/intensity stage raise and NaN the whole corpus at 48 kHz."""
+    from robust_speech_analysis_framework_tpu.features.mshds import (
+        extract_mshds_batch,
+    )
+
+    sr48 = 48000
+    rng = np.random.default_rng(0)
+    t = np.arange(int(1.2 * sr48)) / sr48
+    v = sum(np.sin(2 * np.pi * k * 130 * t) / k for k in range(1, 12))
+    x = 0.3 * v / np.abs(v).max() + 0.001 * rng.normal(size=len(t))
+    df = extract_mshds_batch({"a.wav": x}, sr=sr48, verbose=False)
+    row = df.iloc[0]
+    assert np.isfinite(row["HNR_dB"]) and row["HNR_dB"] > 10
+    assert np.isfinite(row["mean_dB"]) and 50 < row["mean_dB"] < 90
+    assert row["mean_F0"] == pytest.approx(130, abs=3)
+
+
 def test_intensity_matches_analytic_spl():
     """mean_dB of a known-amplitude sine must equal the analytic SPL:
     20·log10(A/√2 / 2e-5) — 0.2 amplitude → 76.99 dB (Praat reference

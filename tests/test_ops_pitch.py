@@ -119,6 +119,30 @@ def test_pitch_track_batch_matches_serial_and_handles_short_files():
         np.testing.assert_allclose(tracks[i].f0[both], ref.f0[both], atol=1e-3)
 
 
+def test_transition_costs_scale_praat_style_with_time_step():
+    """Praat's Pitch_pathFinder multiplies octaveJumpCost and
+    voicedUnvoicedCost by 0.01/dx: a DENSER frame grid has more
+    transitions per second, so each must cost more to keep the per-second
+    penalty constant. With the inverted (dt/0.01) scaling, fine time steps
+    under-penalize jumps — on this octave-ambiguous signal (alternating
+    fundamental-present / second-harmonic-only stretches) the inverted
+    convention produced 7 octave flips at dt=2.5 ms (regression)."""
+    from robust_speech_analysis_framework_tpu.ops.pitch import pitch_track_ac
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(1.6 * SR)) / SR
+    gate = ((t // 0.2).astype(int) % 2) == 0
+    x = np.where(gate, 1.0, 0.06) * np.sin(2 * np.pi * 150 * t) \
+        + np.sin(2 * np.pi * 300 * t)
+    x = 0.3 * x / np.abs(x).max() + 0.002 * rng.normal(size=len(t))
+    for dt in (0.005, 0.0025):
+        tr = pitch_track_ac(x, SR, time_step=dt, floor=75, ceiling=600)
+        f0 = tr.f0[tr.f0 > 0]
+        assert len(f0) > 100
+        semis = 12 * np.abs(np.diff(np.log2(np.maximum(f0, 1.0))))
+        assert (semis > 6).sum() == 0, f"octave flips at dt={dt}"
+
+
 def test_point_process_cc_covers_stretch_when_seed_precedes_first_frame():
     """The seed peak regularly lands BEFORE the voiced stretch's first pitch
     frame center; pitch queries must clamp into the stretch (Praat marches
