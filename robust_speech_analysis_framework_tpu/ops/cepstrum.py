@@ -49,17 +49,7 @@ def power_cepstrogram(
     max_frequency: float = 5000.0,
     preemphasis_from: float = 50.0,
 ) -> PowerCepstrogram:
-    from ..audio.resample import resample_poly_np
-
-    x = np.asarray(x, dtype=np.float64).reshape(-1)
-    target_sr = 2.0 * max_frequency
-    if sr != target_sr:
-        g = math.gcd(int(round(target_sr)), int(round(sr)))
-        x = resample_poly_np(x, int(round(target_sr)) // g, int(round(sr)) // g)
-        sr = target_sr
-    if preemphasis_from > 0:
-        pre = math.exp(-2.0 * math.pi * preemphasis_from / sr)
-        x = np.concatenate([[x[0] * (1 - pre)], x[1:] - pre * x[:-1]])
+    x, sr = cepstrum_preprocess(x, sr, max_frequency, preemphasis_from)
 
     window_s = 2.0 / pitch_floor
     n_frames, t0 = praat_frame_grid(len(x), sr, window_s, time_step)
@@ -217,7 +207,12 @@ def cpps_segments_batch(
         x = np.asarray(x, dtype=np.float64).reshape(-1)
         piece = None
         for (a, b) in segments:
-            sa, sb = int(a * sr), int(b * sr)
+            # clamp into the waveform: segments can outlive a file whose
+            # preprocessing degraded it (e.g. a zero-length fallback) and
+            # would otherwise gather frames from the NEXT file's region of
+            # the shared corpus buffer
+            sa = min(int(a * sr), len(x))
+            sb = min(int(b * sr), len(x))
             seg_len = max(sb - sa, 0)
             n_frames, t0 = praat_frame_grid(seg_len, sr, window_s, time_step)
             if n_frames < 1:

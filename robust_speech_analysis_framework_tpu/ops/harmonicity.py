@@ -82,13 +82,16 @@ def _hnr_from_r(r: np.ndarray, local_peak: np.ndarray, x: np.ndarray,
     bump = np.where(
         (denom > 0) & valid_idx, 0.125 * (dl - dr_) ** 2 / np.maximum(denom, 1e-12), 0.0
     )
-    r_best = np.minimum(r_best + bump, 0.999999999)
+    # saturated frames: r -> 1 must cap HNR at 90 dB. A <1 ceiling on
+    # r_best is a no-op in f32 (0.999999999 rounds to 1.0f), so the cap
+    # lives in the denominator floor: 10*log10(1/1e-9) = 90 dB.
+    r_best = np.minimum(r_best + bump, 1.0)
     global_peak = np.max(np.abs(x - x.mean())) or 1e-30
     silent = local_peak < silence_threshold * global_peak
     undefined = silent | (r_best <= 0)
     return np.where(
         undefined, np.nan,
-        10.0 * np.log10(np.maximum(r_best, 1e-12) / np.maximum(1.0 - r_best, 1e-12)),
+        10.0 * np.log10(np.maximum(r_best, 1e-12) / np.maximum(1.0 - r_best, 1e-9)),
     )
 
 
@@ -120,13 +123,15 @@ def _gathered_hnr(
         (denom > 0) & valid_idx,
         0.125 * (dl - dr_) ** 2 / jnp.maximum(denom, 1e-12), 0.0,
     )
-    r_best = jnp.minimum(r_best + bump, 0.999999999)
+    # see _hnr_from_r: the 90 dB cap lives in the denominator floor (a <1
+    # ceiling on r_best is a no-op in f32)
+    r_best = jnp.minimum(r_best + bump, 1.0)
     silent = local_peak < silence_threshold * global_peak
     undefined = silent | (r_best <= 0)
     return jnp.where(
         undefined, jnp.nan,
         10.0 * jnp.log10(
-            jnp.maximum(r_best, 1e-12) / jnp.maximum(1.0 - r_best, 1e-12)
+            jnp.maximum(r_best, 1e-12) / jnp.maximum(1.0 - r_best, 1e-9)
         ),
     )
 
@@ -178,9 +183,13 @@ def harmonicity_cc_batch(
             offset += len(x) + ext
         else:
             base = int(buf.offsets[idxs[k]])
+        # match the serial path: trailing frames shift LEFT so the whole
+        # win+lag extension reads real samples (clipping only to len(x)
+        # read the zero pad and diverged on file tails — same fix as the
+        # batched cc pitch path, pitch.py)
         starts = np.clip(
             np.round(centers * sr - win_len / 2).astype(int),
-            0, max(len(x), 0),
+            0, max(len(x) - ext, 0),
         )
         start_blocks.append(starts + base)
         gp = float(np.max(np.abs(x - x.mean()))) or 1e-30

@@ -156,7 +156,13 @@ def ltas_pitch_corrected_batch(
             sel = n_ffts == n_fft
             fids, aa, ll = file_ids[sel], seg_a[sel], seg_len[sel]
             f_bins = np.arange(int(n_fft) // 2 + 1) * sr / n_fft
-            bin_idx = np.clip((f_bins / bandwidth).astype(int), 0, n_bins - 1)
+            # spectrum bins above the LTAS maximum frequency are DISCARDED
+            # (Praat ignores them) — clipping them onto the top band used
+            # to fold all 5-8 kHz energy into the 4950 Hz bin and bias the
+            # Spectral_Tilt fit, whose mask includes that bin center
+            bin_raw = (f_bins / bandwidth).astype(int)
+            in_range = bin_raw < n_bins
+            bin_idx = np.clip(bin_raw, 0, n_bins - 1)
             if buf is not None:
                 from .bucketing import pad_frames
 
@@ -168,7 +174,7 @@ def ltas_pitch_corrected_batch(
                 lens_p = lens_p.copy()
                 lens_p[n_real:] = 0  # padded rows contribute zero spectra
                 bin_mat = np.zeros((len(f_bins), n_bins), np.float32)
-                bin_mat[np.arange(len(f_bins)), bin_idx] = 1.0
+                bin_mat[np.arange(len(f_bins))[in_range], bin_idx[in_range]] = 1.0
                 # Dispatch is async: every group's program is enqueued
                 # without waiting; the single np.asarray below pays ONE
                 # tunnel round trip for the whole LTAS stage instead of one
@@ -193,6 +199,7 @@ def ltas_pitch_corrected_batch(
             e = spec.sum(axis=1, keepdims=True)
             e = np.where(e > 0, e, 1.0)
             spec /= e
+            spec *= in_range[None, :]
             flat_idx = (fids[:, None] * n_bins + bin_idx[None, :]).ravel()
             np.add.at(accum.ravel(), flat_idx, spec.ravel())
 
