@@ -70,10 +70,13 @@ class _TrainerCache:
         self._cache: Dict[tuple, Trainer] = {}
 
     def get(self, hp: Mapping[str, Any]) -> Trainer:
+        # dropout_rate is NOT part of the key: it reaches the model as a
+        # runtime traced scalar (TrainConfig.dropout_rate), so one compiled
+        # step serves every sampled rate — a continuous TPE search would
+        # otherwise recompile every bucket shape per trial
         key = (
             int(hp.get("cnn_out_channels", 128)),
             int(hp.get("lstm_hidden_dim", 128)),
-            float(hp.get("dropout_rate", 0.5)),
             str(hp.get("activation_fn", "silu")),
         )
         if key not in self._cache:
@@ -82,8 +85,7 @@ class _TrainerCache:
                 num_classes=self.num_classes,
                 cnn_out_channels=key[0],
                 lstm_hidden_dim=key[1],
-                dropout_rate=key[2],
-                activation_fn=key[3],
+                activation_fn=key[2],
             )
             self._cache[key] = Trainer(model)
         return self._cache[key]
@@ -132,6 +134,7 @@ def run_dl_standard_kfold_cv(
             patience=patience,
             batch_size=batch_size,
             seed=seed + fold,
+            dropout_rate=float(hyperparams.get("dropout_rate", 0.5)),
         )
         state, th, vh = train_model(
             trainer,
@@ -176,6 +179,13 @@ def _inner_cv_score(
             patience=inner_epochs + 1,  # no early stop in the tuning loop
             batch_size=inner_batch_size,
             seed=seed,
+            dropout_rate=float(params.get("dropout_rate", 0.5)),
+            # the reference _objective trains plain Adam for a FIXED 15
+            # epochs and scores the final-epoch weights — no plateau decay,
+            # no best-val restore (src/dl_cv_strategies.py:234-248); both
+            # would otherwise bias trial scores optimistically
+            use_plateau=False,
+            restore_best=False,
         )
         state, _, _ = train_model(
             trainer,
@@ -255,6 +265,7 @@ def run_dl_nested_cv(
             patience=patience,
             batch_size=batch_size,
             seed=seed + fold,
+            dropout_rate=float(best_params.get("dropout_rate", 0.5)),
         )
         state, _, _ = train_model(
             trainer,

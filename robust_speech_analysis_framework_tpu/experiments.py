@@ -413,6 +413,7 @@ def _train_final_model(
     cfg = TrainConfig(
         learning_rate=float(hyperparams["learning_rate"]),
         epochs=epochs, patience=patience, batch_size=batch_size,
+        dropout_rate=float(hyperparams.get("dropout_rate", 0.5)),
     )
     state, th, vh = train_model(
         trainer, [X[i] for i in tr], y[tr], [X[i] for i in val], y[val], cfg

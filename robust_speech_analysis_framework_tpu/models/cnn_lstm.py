@@ -18,8 +18,16 @@ TPU-first design differences from the reference (deliberate, not drift):
 * An optional ``lengths`` argument masks padded timesteps in attention
   pooling and freezes the LSTM state past each sequence's end. The reference
   pads batches with zeros and lets padding flow through (its collate_fn,
-  src/dl_cv_strategies.py:64-84); ``lengths=None`` reproduces that exactly,
-  and is the default used by the parity CV engines.
+  src/dl_cv_strategies.py:64-84); ``lengths=None`` reproduces that
+  pad-through BEHAVIOR, though not bit-for-bit: the reference pads to each
+  batch's max length while this framework pads to the geometric bucket
+  ladder (XLA needs stable shapes), so the amount of zero padding flowing
+  through conv bias/BN/attention differs. BatchNorm statistics include
+  padded frames in BOTH frameworks (torch BN1d does the same), in either
+  masking mode — only the attention/LSTM reads are masked by ``lengths``.
+* ``dropout_rate`` may also be passed at CALL time as a traced scalar
+  (overriding the static attribute): hyperparameter searches then reuse one
+  compiled step across trials instead of recompiling per sampled rate.
 """
 
 from __future__ import annotations
@@ -38,6 +46,22 @@ def get_activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name == "gelu":
         return nn.gelu
     raise ValueError(f"Unsupported activation function: {name}")
+
+
+class RateDropout(nn.Module):
+    """Dropout whose rate is a RUNTIME value (traced scalar), unlike
+    ``nn.Dropout`` whose static rate is baked into the compiled program —
+    hyperparameter searches over dropout would otherwise recompile every
+    step shape per sampled rate. Paramless; draws from the same 'dropout'
+    RNG collection as ``nn.Dropout``."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, rate, deterministic: bool) -> jnp.ndarray:
+        if deterministic:
+            return x
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / jnp.maximum(1.0 - rate, 1e-6), 0.0)
 
 
 class ResidualBlock(nn.Module):
@@ -176,6 +200,7 @@ class BiLSTM(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         lengths: Optional[jnp.ndarray] = None,
+        dropout_rate=None,  # traced scalar overriding self.dropout
     ) -> jnp.ndarray:
         from ..ops.pallas.lstm import lstm_recurrence_grouped, pallas_available
 
@@ -214,8 +239,13 @@ class BiLSTM(nn.Module):
                 fwd = fwd_cell(h, lengths)
                 bwd = unflip(bwd_cell(bwd_in, lengths))
             h = jnp.concatenate([fwd, bwd], axis=-1)
-            if layer < self.num_layers - 1 and self.dropout > 0:
-                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            if layer < self.num_layers - 1:
+                if dropout_rate is not None:
+                    h = RateDropout(name=f"drop_{layer}")(
+                        h, dropout_rate, deterministic=not train
+                    )
+                elif self.dropout > 0:
+                    h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return h
 
 
@@ -261,13 +291,17 @@ class CNNLSTM(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         lengths: Optional[jnp.ndarray] = None,
+        dropout_rate=None,  # traced scalar overriding self.dropout_rate
     ) -> jnp.ndarray:
         # (B, T, input_dim) feature-last throughout; no layout permutes needed.
         def mask_pad(h, lens):
             # Zero padded frames so SAME-padded convs can't read garbage and
             # block outputs at padded positions can't leak into valid frames
-            # through the next conv. Makes logits invariant to both padding
-            # content and padding amount when ``lengths`` is provided.
+            # through the next conv. With ``lengths`` this makes logits
+            # invariant to padding CONTENT; invariance to padding AMOUNT
+            # holds for the attention/LSTM path but NOT for BatchNorm in
+            # train mode, whose batch statistics count padded frames (the
+            # reference's torch BN1d does the same over its own padding).
             if lens is None:
                 return h
             m = jnp.arange(h.shape[1])[None, :, None] < lens[:, None, None]
@@ -285,7 +319,9 @@ class CNNLSTM(nn.Module):
         # src/models.py:177).
         h = nn.max_pool(h, window_shape=(2,), strides=(2,))
         if lengths is not None:
-            lengths = lengths // 2
+            # clamp to >=1: a 0/1-frame sequence would otherwise mask EVERY
+            # attention score to -inf and NaN the whole batch through softmax
+            lengths = jnp.maximum(lengths // 2, 1)
         h = mask_pad(h, lengths)
         h = ResidualBlock(
             self.cnn_out_channels,
@@ -299,9 +335,14 @@ class CNNLSTM(nn.Module):
             num_layers=self.lstm_layers,
             dropout=self.dropout_rate if self.lstm_layers > 1 else 0.0,
             name="lstm",
-        )(h, train=train, lengths=lengths)
+        )(h, train=train, lengths=lengths, dropout_rate=dropout_rate)
         pooled = AttentionPooling(name="attention_pooling")(h, lengths)
-        pooled = nn.Dropout(self.dropout_rate, deterministic=not train)(pooled)
+        if dropout_rate is not None:
+            pooled = RateDropout(name="dropout_rt")(
+                pooled, dropout_rate, deterministic=not train
+            )
+        else:
+            pooled = nn.Dropout(self.dropout_rate, deterministic=not train)(pooled)
         return nn.Dense(self.num_classes, name="fc")(pooled)
 
     def first_conv_kernel(self, params) -> jnp.ndarray:

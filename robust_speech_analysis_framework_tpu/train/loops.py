@@ -15,7 +15,7 @@ same compiled step is reused across folds/trials of equal model shape.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,16 @@ class TrainConfig:
     plateau_patience: int = 5
     use_length_masking: bool = False  # reference parity: padding unmasked
     min_bucket: int = 64
+    # runtime dropout rate passed into the model as a TRACED scalar: one
+    # compiled step serves every sampled rate of a hyperparameter search
+    # (None -> the model's static attribute, recompiling per architecture)
+    dropout_rate: Optional[float] = None
+    # the reference's inner Optuna objective trains plain fixed-epoch Adam
+    # and scores FINAL weights (src/dl_cv_strategies.py:197-254); its outer
+    # training uses plateau decay + best-weight restore (:87-165). Both
+    # behaviors are selectable so each loop matches its reference twin.
+    use_plateau: bool = True
+    restore_best: bool = True
     # compile every (batch, time-bucket) step shape concurrently before the
     # epoch loop: XLA compiles release the GIL (and go through a remote
     # compile service on the tunneled chip), so threads overlap what would
@@ -88,6 +98,7 @@ class Trainer:
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=1.0, eps=adam_eps)
         self._train_step = jax.jit(self._train_step_impl, static_argnums=(3,))
         self._eval_step = jax.jit(self._eval_step_impl, static_argnums=(3,))
+        self.warmed_shapes: set = set()  # step shapes compiled on THIS trainer
 
     def init_state(self, rng: jax.Array, example: jnp.ndarray, lr: float) -> TrainState:
         variables = self.model.init(
@@ -105,11 +116,14 @@ class Trainer:
 
     # --- steps -------------------------------------------------------------
 
-    def _apply(self, params, batch_stats, batch, lengths, train, rng=None):
+    def _apply(self, params, batch_stats, batch, lengths, train, rng=None,
+               dropout_rate=None):
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train)
         if lengths is not None:
             kwargs["lengths"] = lengths
+        if dropout_rate is not None:
+            kwargs["dropout_rate"] = dropout_rate
         if train:
             out, updates = self.model.apply(
                 variables,
@@ -122,14 +136,16 @@ class Trainer:
         out = self.model.apply(variables, batch, **kwargs)
         return out, batch_stats
 
-    def _train_step_impl(self, state: TrainState, batch_and_labels, rng, masked):
+    def _train_step_impl(self, state: TrainState, batch_and_labels, rng, masked,
+                         dropout_rate=None):
         batch, lengths, labels = batch_and_labels
         if not masked:
             lengths = None
 
         def loss_fn(params):
             logits, new_stats = self._apply(
-                params, state.batch_stats, batch, lengths, True, rng
+                params, state.batch_stats, batch, lengths, True, rng,
+                dropout_rate,
             )
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels
@@ -188,9 +204,6 @@ class Trainer:
         return logits_out
 
 
-_WARMED_SHAPES: set = set()  # (model_repr, (kind, B, T, masked)) seen this process
-
-
 def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
     """Compile every step shape the epoch loop can encounter, concurrently.
 
@@ -206,7 +219,6 @@ def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
 
     from ..data.batching import bucket_length
 
-    arch = repr(trainer.model)  # flax modules are dataclasses: stable repr
     shapes = set()
     t_buckets = {bucket_length(t, cfg.min_bucket) for t in train_lens}
     train_bs = {min(cfg.batch_size, len(train_lens))}
@@ -222,17 +234,24 @@ def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
             ("eval", len(group), int(bucket_length(max(group), cfg.min_bucket)),
              cfg.use_length_masking)
         )
-    # process-global memo: fresh Trainer objects of the same architecture
-    # re-trace cheaply against the live in-process/persistent compile caches,
-    # so only genuinely never-compiled (arch, shape) pairs are worth the
-    # threaded warmup dispatches
-    shapes = {s for s in shapes if (arch, s) not in _WARMED_SHAPES}
+    # per-trainer memo: the compiled-step caches live on each Trainer's jit
+    # wrappers, so a process-global architecture key would skip warmup for a
+    # FRESH trainer holding a cold cache (retraces would then serialize
+    # inside the epoch loop); shapes warmed on this trainer cost nothing on
+    # later folds/trials that reuse it
+    rate_tag = cfg.dropout_rate is None
+    shapes = {s for s in shapes if (rate_tag, s) not in trainer.warmed_shapes}
     if not shapes:
         return
-    _WARMED_SHAPES.update((arch, s) for s in shapes)
+    trainer.warmed_shapes.update((rate_tag, s) for s in shapes)
 
     rng = jax.random.PRNGKey(0)  # separate key: must not consume the
     # training rng stream (warmup on/off yields identical histories)
+
+    rate_arg = (
+        None if cfg.dropout_rate is None
+        else jnp.asarray(cfg.dropout_rate, jnp.float32)
+    )
 
     def compile_one(spec):
         kind, b, t, _ = spec
@@ -244,6 +263,7 @@ def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
                 (batch, lengths, jnp.zeros((b,), jnp.int32)),
                 rng,
                 cfg.use_length_masking,
+                rate_arg,
             )
         else:
             trainer._eval_step(state, batch, lengths, cfg.use_length_masking)
@@ -290,8 +310,10 @@ def train_model(
     from ..data.batching import batch_iterator, pad_batch
 
     rng = jax.random.PRNGKey(cfg.seed)
+    # init on a tiny slice: shapes are all that matter, and an eager init on
+    # a full-length bucketed sequence dispatches hundreds of ops per call
     example, _ = pad_batch(
-        [train_sequences[0][: max(len(train_sequences[0]), 2)]],
+        [train_sequences[0][: min(len(train_sequences[0]), 2)]],
         min_bucket=cfg.min_bucket,
     )
     rng, init_rng = jax.random.split(rng)
@@ -307,6 +329,10 @@ def train_model(
             int(np.asarray(train_sequences[0]).shape[1]),
         )
 
+    rate_arg = (
+        None if cfg.dropout_rate is None
+        else jnp.asarray(cfg.dropout_rate, jnp.float32)
+    )
     scheduler = ReduceLROnPlateau(cfg.plateau_factor, cfg.plateau_patience)
     best_val = float("inf")
     best_state = state
@@ -331,6 +357,7 @@ def train_model(
                 (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(labs)),
                 step_rng,
                 cfg.use_length_masking,
+                rate_arg,
             )
             # keep losses on device: one fetch per EPOCH, not per batch —
             # per-step float() syncs dominate wall time on the tunneled chip
@@ -339,8 +366,9 @@ def train_model(
 
         val_loss = _mean_val_loss(trainer, state, val_sequences, val_labels, cfg)
         val_hist.append(val_loss)
-        lr = scheduler.step(val_loss, lr)
-        state = state.replace(lr=jnp.asarray(lr, jnp.float32))
+        if cfg.use_plateau:
+            lr = scheduler.step(val_loss, lr)
+            state = state.replace(lr=jnp.asarray(lr, jnp.float32))
 
         if val_loss < best_val:
             best_val = val_loss
@@ -358,7 +386,7 @@ def train_model(
                 print(f"  > early stop at epoch {epoch + 1}")
             break
 
-    return best_state, train_hist, val_hist
+    return (best_state if cfg.restore_best else state), train_hist, val_hist
 
 
 def evaluate_model(

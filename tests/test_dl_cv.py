@@ -29,6 +29,38 @@ def synthetic_participants():
     return seqs, pd.DataFrame(rows)
 
 
+def test_runtime_dropout_shares_one_compiled_step_across_rates():
+    """dropout_rate reaches the model as a TRACED scalar: trials of a
+    hyperparameter search with different sampled rates must reuse ONE
+    compiled train step per shape (a static rate recompiled every bucket
+    shape per trial), and training must still respond to the rate."""
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import _TrainerCache
+    from robust_speech_analysis_framework_tpu.train.loops import (
+        TrainConfig,
+        train_model,
+    )
+
+    rng = np.random.default_rng(0)
+    X = [rng.normal(size=(20, 10)).astype(np.float32) for _ in range(8)]
+    y = np.array([0, 1] * 4)
+    cache = _TrainerCache(input_dim=10)
+    hp = {"cnn_out_channels": 8, "lstm_hidden_dim": 8, "activation_fn": "silu"}
+    trainer = cache.get({**hp, "dropout_rate": 0.2})
+    assert cache.get({**hp, "dropout_rate": 0.45}) is trainer  # one Trainer
+    sizes = []
+    for rate in (0.2, 0.45):
+        cfg = TrainConfig(
+            learning_rate=1e-3, epochs=1, patience=2, batch_size=4,
+            dropout_rate=rate, parallel_warmup=False,
+        )
+        state, th, _ = train_model(trainer, X[:6], y[:6], X[6:], y[6:], cfg)
+        assert np.isfinite(th).all()
+        sizes.append(trainer._train_step._cache_size())
+    # the second rate added NO compilations: rate is a traced input, so the
+    # (per-batch-shape) compiled steps from the first trial are reused
+    assert sizes[1] == sizes[0]
+
+
 def test_alignment(synthetic_participants):
     seqs, meta = synthetic_participants
     X, y, pids = align_sequences_and_labels(seqs, meta)
