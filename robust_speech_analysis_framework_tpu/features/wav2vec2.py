@@ -97,18 +97,26 @@ class Wav2Vec2Extractor:
         self.upload_dtype = np.dtype(upload_dtype)
         if self.upload_dtype == np.int16 and normalize:
             raise ValueError(
-                "upload_dtype=int16 requires normalize=False: per-utterance "
+                "upload_dtype=int16 requires normalize=False: per-chunk "
                 "normalized samples are not confined to [-1, 1)."
             )
         if self.upload_dtype not in (np.dtype(np.float32), np.dtype(np.int16)):
             raise ValueError(f"unsupported upload_dtype {self.upload_dtype}")
         self.model = Wav2Vec2Model(config)
+        if not 0 <= overlap_seconds < chunk_seconds:
+            raise ValueError(
+                f"overlap_seconds ({overlap_seconds}) must be in "
+                f"[0, chunk_seconds={chunk_seconds}): the chunk step is "
+                "chunk_seconds - overlap_seconds and must stay positive."
+            )
         self.chunk_size = int(SAMPLE_RATE * chunk_seconds)
         self.step_size = int(SAMPLE_RATE * (chunk_seconds - overlap_seconds))
         self.min_samples = int(SAMPLE_RATE * MIN_SECONDS)
         self.batch_size = batch_size
-        # facebook/wav2vec2-base-960h ships do_normalize=False; flag kept for
-        # checkpoints that expect per-utterance normalization.
+        # facebook/wav2vec2-base-960h ships do_normalize=False; flag kept
+        # for checkpoints that expect normalization. Applied PER CHUNK,
+        # exactly as the reference does (it runs the HF processor on each
+        # 5 s chunk separately, src/foundation_model_extractor.py:113).
         self.normalize = normalize
         self.pretrained = params is not None
         if params is None:
@@ -230,20 +238,7 @@ class Wav2Vec2Extractor:
         self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
     ) -> Dict[str, np.ndarray]:
         """{name: 16 kHz mono waveform} → {name: (T, hidden) embeddings}."""
-        names: List[str] = []
-        chunk_refs: List[_ChunkRef] = []
-        chunk_data: List[np.ndarray] = []
-        for name, wav in waveforms.items():
-            wav = np.asarray(wav, dtype=np.float32).reshape(-1)
-            if len(wav) < self.min_samples:
-                if verbose:
-                    print(f"INFO: skipping very short input '{name}'.")
-                continue
-            file_index = len(names)
-            names.append(name)
-            for order, c in enumerate(self._chunk(wav)):
-                chunk_refs.append(_ChunkRef(file_index, order, len(c)))
-                chunk_data.append(c)
+        names, chunk_refs, chunk_data = self._gather_chunks(waveforms, verbose)
 
         if not names:
             return {}
@@ -275,6 +270,26 @@ class Wav2Vec2Extractor:
             if parts
         }
 
+    def _gather_chunks(self, waveforms: Mapping[str, np.ndarray], verbose: bool):
+        """Shared front half of extract_sequences/extract_embeddings:
+        validate + skip sub-0.5 s inputs (reference :88) and flatten every
+        file into (chunk_refs, chunk_data)."""
+        names: List[str] = []
+        chunk_refs: List[_ChunkRef] = []
+        chunk_data: List[np.ndarray] = []
+        for name, wav in waveforms.items():
+            wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+            if len(wav) < self.min_samples:
+                if verbose:
+                    print(f"INFO: skipping very short input '{name}'.")
+                continue
+            file_index = len(names)
+            names.append(name)
+            for order, c in enumerate(self._chunk(wav)):
+                chunk_refs.append(_ChunkRef(file_index, order, len(c)))
+                chunk_data.append(c)
+        return names, chunk_refs, chunk_data
+
     def _run_batches(self, chunk_data, forward, max_inflight: int = 24,
                      fetch_threads: int = 4):
         """Pipelined batched inference over all chunks.
@@ -296,8 +311,7 @@ class Wav2Vec2Extractor:
         from ..utils.reliability import retry_transient
 
         bs = self.batch_size
-        # Sort by length so full chunks batch together (cheap; one shape).
-        order_idx = sorted(range(len(chunk_data)), key=lambda i: -len(chunk_data[i]))
+        order_idx = range(len(chunk_data))
 
         quantize = self.upload_dtype == np.int16
 
@@ -361,20 +375,7 @@ class Wav2Vec2Extractor:
         every frame of every chunk, duplicates included.
         """
         hdim = self.config.hidden_size
-        names: List[str] = []
-        chunk_refs: List[_ChunkRef] = []
-        chunk_data: List[np.ndarray] = []
-        for name, wav in waveforms.items():
-            wav = np.asarray(wav, dtype=np.float32).reshape(-1)
-            if len(wav) < self.min_samples:
-                if verbose:
-                    print(f"INFO: skipping very short input '{name}'.")
-                continue
-            file_index = len(names)
-            names.append(name)
-            for order, c in enumerate(self._chunk(wav)):
-                chunk_refs.append(_ChunkRef(file_index, order, len(c)))
-                chunk_data.append(c)
+        names, chunk_refs, chunk_data = self._gather_chunks(waveforms, verbose)
         if not names:
             return pd.DataFrame()
         sums = np.zeros((len(names), hdim), np.float64)
@@ -406,6 +407,13 @@ def _load_waveforms(
     out = {}
     for path in input_df[audio_file_column]:
         name = os.path.basename(path)
+        if name in out:
+            if verbose:
+                print(
+                    f"ERROR: duplicate basename '{name}' (from '{path}'); "
+                    "row dropped — filenames must be unique."
+                )
+            continue
         try:
             out[name] = load_mono_16k(path)
         except Exception as e:  # reference skips unreadable files (:127-129)

@@ -241,7 +241,22 @@ def port_hf_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
     Accepts a dict of numpy arrays (call ``{k: v.numpy() for k, v in
     model.state_dict().items()}`` on the torch side). Ignores the quantizer /
     masked-spec-embed entries that the reference's inference path never uses.
+    Head-model state dicts whose backbone keys carry a ``wav2vec2.`` prefix
+    (e.g. ``Wav2Vec2ForCTC``) are accepted by stripping the prefix.
     """
+    if any(k.startswith("wav2vec2.") for k in state_dict):
+        state_dict = {
+            k[len("wav2vec2."):]: v
+            for k, v in state_dict.items()
+            if k.startswith("wav2vec2.")
+        }
+    if not any(k.startswith("feature_extractor.conv_layers.") for k in state_dict):
+        raise ValueError(
+            "state dict does not look like a transformers Wav2Vec2Model: no "
+            "'feature_extractor.conv_layers.*' keys found (got e.g. "
+            f"{sorted(state_dict)[:3]}...). Pass the bare backbone's "
+            "state_dict()."
+        )
 
     def t(name):
         return np.asarray(state_dict[name])

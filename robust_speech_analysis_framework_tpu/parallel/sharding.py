@@ -21,6 +21,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DEFAULT_PARAM_RULES: Sequence[Tuple[str, Any]] = (
     # LSTM input/recurrent projections: (in, 4H) → shard gate dim.
     (r".*(wx|wh)$", lambda nd: P(*([None] * (nd - 1) + ["mp"]))),
+    # Transformer blocks (wav2vec2): megatron-style tensor parallelism —
+    # q/k/v/ff1 column-parallel (output dim + bias live on 'mp'), the
+    # following out/ff2 row-parallel (input dim on 'mp'; XLA inserts the
+    # all-reduce). Without these the encoder's ~95M params silently
+    # replicated on every device (the old conv\d* pattern matches none of
+    # its parameter names).
+    (r".*/(q|k|v|ff1)/kernel$", lambda nd: P(*([None] * (nd - 1) + ["mp"]))),
+    (r".*/(q|k|v|ff1)/bias$", lambda nd: P("mp")),
+    (r".*/(out|ff2)/kernel$", lambda nd: P(*(["mp"] + [None] * (nd - 1)))),
+    # Feature-encoder convs (k, in, out) + the 512→768 projection: shard out.
+    (r".*/(conv_\d+|feature_projection/projection)/kernel$",
+     lambda nd: P(*([None] * (nd - 1) + ["mp"]))),
     # Conv kernels (k, in, out) and Dense kernels (in, out): shard out.
     (r".*(conv\d*|shortcut_conv|Dense_\d+|fc|score)/kernel$",
      lambda nd: P(*([None] * (nd - 1) + ["mp"]))),

@@ -43,7 +43,9 @@ class Predictor:
     ):
         self.model = model
         self.variables = variables
-        self.extractor = extractor or Wav2Vec2Extractor()
+        # may be None: predict_sequence() works on precomputed embeddings;
+        # the waveform entry points check via _require_extractor
+        self.extractor = extractor
         self.min_bucket = min_bucket
         self._forward = jax.jit(
             lambda v, x, l: self.model.apply(v, x, train=False, lengths=l)
@@ -80,6 +82,19 @@ class Predictor:
 
     # --- inference ---------------------------------------------------------
 
+    def _require_extractor(self) -> Wav2Vec2Extractor:
+        if self.extractor is None:
+            raise ValueError(
+                "Predicting from audio needs a Wav2Vec2Extractor with "
+                "pretrained weights (the classifier consumes "
+                "wav2vec2-base-960h embeddings; random weights would give "
+                "garbage predictions). Build one with "
+                "Wav2Vec2Extractor.from_hf_checkpoint(path) and pass it to "
+                "the Predictor (CLI: predict --wav2vec2-checkpoint PATH), "
+                "or call predict_sequence() with precomputed embeddings."
+            )
+        return self.extractor
+
     def predict_sequence(self, sequence: np.ndarray) -> Prediction:
         """Classify a precomputed (T, D) embedding sequence."""
         from .data.batching import pad_batch
@@ -103,7 +118,9 @@ class Predictor:
     def predict(self, waveform: np.ndarray) -> Prediction:
         """Classify a 16 kHz mono waveform (extraction + model)."""
         t0 = time.perf_counter()
-        seqs = self.extractor.extract_sequences({"_": waveform}, verbose=False)
+        seqs = self._require_extractor().extract_sequences(
+            {"_": waveform}, verbose=False
+        )
         if "_" not in seqs:
             raise ValueError("audio too short for feature extraction (<0.5 s)")
         pred = self.predict_sequence(seqs["_"])
@@ -119,5 +136,5 @@ class Predictor:
         from .audio.native_io import load_corpus_mono_16k
 
         waves = load_corpus_mono_16k(paths)
-        seqs = self.extractor.extract_sequences(waves, verbose=False)
+        seqs = self._require_extractor().extract_sequences(waves, verbose=False)
         return {name: self.predict_sequence(seq) for name, seq in seqs.items()}
