@@ -119,8 +119,11 @@ def stft_magnitude(
 def power_spectrum(
     frames: jnp.ndarray, window: Optional[np.ndarray] = None, n_fft: Optional[int] = None
 ) -> jnp.ndarray:
-    mag = stft_magnitude(frames, window, n_fft)
-    return mag * mag
+    from ..ops.dft import rfft_power
+
+    if window is not None:
+        frames = frames * jnp.asarray(window, dtype=frames.dtype)
+    return rfft_power(frames, n_fft or _next_pow2(frames.shape[-1]))
 
 
 def _next_pow2(n: int) -> int:
@@ -145,19 +148,20 @@ def mel_filterbank(
 ) -> np.ndarray:
     """HTK-style triangular mel filterbank, shape (n_fft//2+1, n_mels).
 
-    Triangle centers are equally spaced in mel between ``fmin`` and ``fmax``;
-    each filter peaks at 1 (no area normalization), matching HTK/openSMILE
-    ``htkcompatible=1`` (Androids.conf:99-105: 26 bands, 20-8000 Hz).
+    Triangle centers are equally spaced in mel between ``fmin`` and ``fmax``
+    and the triangle *weights are linear in mel* (HTK/openSMILE
+    ``htkcompatible=1`` compute each bin's weight on the mel axis, not the Hz
+    axis); each filter peaks at 1, no area normalization
+    (Androids.conf:99-105: 26 bands, 20-8000 Hz).
     """
     n_bins = n_fft // 2 + 1
-    fft_freqs = np.arange(n_bins, dtype=np.float64) * sr / n_fft
+    fft_mels = hz_to_mel(np.arange(n_bins, dtype=np.float64) * sr / n_fft)
     mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    hz_pts = mel_to_hz(mel_pts)
     fb = np.zeros((n_bins, n_mels), dtype=np.float64)
     for m in range(n_mels):
-        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
-        up = (fft_freqs - lo) / max(ctr - lo, 1e-12)
-        down = (hi - fft_freqs) / max(hi - ctr, 1e-12)
+        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (fft_mels - lo) / max(ctr - lo, 1e-12)
+        down = (hi - fft_mels) / max(hi - ctr, 1e-12)
         fb[:, m] = np.maximum(0.0, np.minimum(up, down))
     return fb
 
@@ -187,6 +191,7 @@ def mfcc_from_power(
     cep_lifter: int = 22,
     floor: float = 1e-10,
     use_power: bool = False,
+    spec_is_power: bool = True,
 ) -> jnp.ndarray:
     """MFCCs from a (power or magnitude) spectrum.
 
@@ -194,8 +199,15 @@ def mfcc_from_power(
     (openSMILE cMelspec ``usePower=0``, Androids.conf:99-105); log energies
     then DCT-II (HTK scaling) rows ``first_cep..first_cep+n_ceps-1`` with
     sinusoidal liftering L=22 (cMfcc defaults, htkcompatible=1).
+    ``spec_is_power=False`` declares the input is already a magnitude
+    spectrum, avoiding a square→sqrt round-trip on the hot path.
     """
-    spec = power if use_power else jnp.sqrt(jnp.maximum(power, 0.0))
+    if use_power == spec_is_power:
+        spec = power
+    elif use_power:
+        spec = power * power
+    else:
+        spec = jnp.sqrt(jnp.maximum(power, 0.0))
     fb = jnp.asarray(filterbank, dtype=spec.dtype)
     mel_e = jnp.maximum(spec @ fb, floor)
     log_e = jnp.log(mel_e)

@@ -143,18 +143,29 @@ def decode_batch_mono(
 def load_corpus_mono_16k(
     paths: Sequence[str], target_sr: int = 16000, n_threads: int = 8
 ) -> Dict[str, np.ndarray]:
-    """Batch decode + resample a list of files → {basename: 16 kHz mono}."""
-    from .resample import resample_poly_np
-    import math
+    """Batch decode + resample a list of files → {basename: 16 kHz mono}.
 
+    Files that fail to decode are absent from the result (callers apply the
+    reference's NaN-row/skip semantics). Raises on duplicate basenames: the
+    corpus keys features by bare filename, so a silent overwrite would
+    attribute one file's audio to another.
+    """
+    from .resample import resample_poly_np
+
+    names = [os.path.basename(p) for p in paths]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate basenames across input paths: {sorted(dupes)[:5]} — "
+            "results are keyed by basename; disambiguate the filenames"
+        )
     decoded = decode_batch_mono(list(paths), n_threads)
     out: Dict[str, np.ndarray] = {}
-    for path, item in zip(paths, decoded):
+    for name, item in zip(names, decoded):
         if item is None:
             continue
         x, sr = item
         if sr != target_sr:
-            g = math.gcd(target_sr, sr)
-            x = resample_poly_np(x.astype(np.float64), target_sr // g, sr // g)
-        out[os.path.basename(path)] = x.astype(np.float32)
+            x = resample_poly_np(x.astype(np.float64), target_sr, sr)
+        out[name] = x.astype(np.float32)
     return out

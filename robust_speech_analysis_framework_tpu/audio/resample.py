@@ -170,8 +170,8 @@ def resample_sinc(
     idx_c = jnp.clip(idx, 0, t_in - 1)
     valid = (idx >= 0) & (idx < t_in)
 
-    arg = (offs[None, :] - frac[:, None]) / scale  # sinc argument
-    win_x = arg / precision * scale  # in [-1, 1] across the kernel support
+    arg = (offs[None, :] - frac[:, None]) / scale  # sinc argument, |arg| ≤ ~precision
+    win_x = arg / precision  # in [-1, 1] across the full (widened) kernel support
     window = jnp.where(jnp.abs(win_x) < 1.0, 0.5 + 0.5 * jnp.cos(jnp.pi * win_x), 0.0)
     kernel = jnp.sinc(arg) * window / scale
     kernel = jnp.where(valid, kernel, 0.0).astype(x.dtype)
@@ -181,4 +181,29 @@ def resample_sinc(
 
 
 def resample_sinc_np(x: np.ndarray, sr_in: int, sr_out: int, precision: int = 50) -> np.ndarray:
-    return np.asarray(resample_sinc(jnp.asarray(x, dtype=jnp.float32), sr_in, sr_out, precision))
+    """Pure-NumPy float64 twin of :func:`resample_sinc` (host fallback/oracle)."""
+    x = np.asarray(x, dtype=np.float64)
+    if sr_in == sr_out:
+        return x
+    t_in = x.shape[-1]
+    n_out = _sinc_times(sr_in, sr_out, t_in)
+    ratio = sr_in / sr_out
+    scale = max(ratio, 1.0)
+    half = int(precision * scale) + 1
+
+    pos = np.arange(n_out) * ratio
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+
+    offs = np.arange(-half + 1, half + 1)
+    idx = base[:, None] + offs[None, :]
+    idx_c = np.clip(idx, 0, t_in - 1)
+    valid = (idx >= 0) & (idx < t_in)
+
+    arg = (offs[None, :] - frac[:, None]) / scale
+    win_x = arg / precision
+    window = np.where(np.abs(win_x) < 1.0, 0.5 + 0.5 * np.cos(np.pi * win_x), 0.0)
+    kernel = np.sinc(arg) * window / scale
+    kernel = np.where(valid, kernel, 0.0)
+
+    return np.einsum("...ok,ok->...o", x[..., idx_c], kernel)

@@ -35,15 +35,17 @@ def pad_batch(
     lengths (B,) int32. Sequences longer than ``max_len`` are truncated.
     """
     lens = [len(s) for s in sequences]
-    t_max = max(lens)
+    t_cap = max(lens)
     if max_len is not None:
-        t_max = min(t_max, max_len)
-    t_pad = bucket_length(t_max, min_bucket, growth)
+        t_cap = min(t_cap, max_len)
+    t_pad = bucket_length(t_cap, min_bucket, growth)
     d = sequences[0].shape[1]
     out = np.zeros((len(sequences), t_pad, d), dtype=np.float32)
     lengths = np.zeros(len(sequences), dtype=np.int32)
     for i, s in enumerate(sequences):
-        t = min(len(s), t_pad)
+        # Truncate to the cap (not the bucket round-up): lengths must never
+        # exceed max_len even when the bucket ladder overshoots it.
+        t = min(len(s), t_cap)
         out[i, :t] = s[:t]
         lengths[i] = t
     return out, lengths

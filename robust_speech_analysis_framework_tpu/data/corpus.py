@@ -74,6 +74,26 @@ def parse_androids_filename(filename: str) -> Optional[FileMeta]:
     )
 
 
+def _mangle_duplicate_columns(names: List[str]) -> List[str]:
+    """Pandas-style duplicate-column renaming: repeats become ``name.1``, ``name.2``…"""
+    seen: Dict[str, int] = {}
+    out: List[str] = []
+    for name in names:
+        if name not in seen:
+            seen[name] = 0
+            out.append(name)
+            continue
+        k = seen[name] + 1
+        new = f"{name}.{k}"
+        while new in seen:
+            k += 1
+            new = f"{name}.{k}"
+        seen[name] = k
+        seen[new] = 0
+        out.append(new)
+    return out
+
+
 def load_fold_lists(path: str) -> Tuple[Dict[str, int], Dict[str, int]]:
     """Parse ``fold-lists.csv`` into {base filename -> fold number} maps.
 
@@ -94,7 +114,11 @@ def load_fold_lists(path: str) -> Tuple[Dict[str, int], Dict[str, int]]:
     if len(rows) < 2:
         return reading_map, interview_map
 
-    header = [h.strip() for h in rows[1]]
+    # The reference reads this CSV with pandas (header=1), whose duplicate-
+    # column mangling renames the second occurrence of `foldN` to `foldN.1`
+    # (src/data_loader.py:31-35). Replicate that so both literal `foldN.1`
+    # headers and duplicated `foldN` headers resolve identically.
+    header = _mangle_duplicate_columns([h.strip() for h in rows[1]])
     col_of = {name: i for i, name in enumerate(header)}
 
     def ingest(col_name: str, fold_num: int, target: Dict[str, int]) -> None:

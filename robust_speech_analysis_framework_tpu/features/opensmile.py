@@ -163,7 +163,8 @@ class OpenSmileExtractor:
         win = pre * jnp.asarray(self._window, pre.dtype)
         mag = stft_magnitude(win, None, cfg.fft_size)
         mfcc = mfcc_from_power(
-            mag * mag, self._melfb, n_ceps=self.config.n_mfcc, first_cep=1
+            mag, self._melfb, n_ceps=self.config.n_mfcc, first_cep=1,
+            spec_is_power=False,
         )
         energy = rms_energy(win)
         zcr = zero_crossing_rate(raw)

@@ -11,6 +11,7 @@ inference.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Mapping, Optional, Sequence
@@ -131,10 +132,24 @@ class Predictor:
             latency_seconds=time.perf_counter() - t0,
         )
 
-    def predict_files(self, paths: Sequence[str]) -> Dict[str, Prediction]:
-        """Batch-classify audio files (native decode when available)."""
+    def predict_files(
+        self, paths: Sequence[str], skip_failed: bool = False
+    ) -> Dict[str, Prediction]:
+        """Batch-classify audio files (native decode when available).
+
+        Raises ValueError naming any file that could not be decoded or was
+        too short for feature extraction (<0.5 s); pass ``skip_failed=True``
+        to omit such files from the result instead.
+        """
         from .audio.native_io import load_corpus_mono_16k
 
         waves = load_corpus_mono_16k(paths)
         seqs = self._require_extractor().extract_sequences(waves, verbose=False)
+        failed = [os.path.basename(p) for p in paths
+                  if os.path.basename(p) not in seqs]
+        if failed and not skip_failed:
+            raise ValueError(
+                f"{len(failed)} file(s) could not be classified (decode failure "
+                f"or <0.5 s audio): {failed[:5]}; pass skip_failed=True to omit"
+            )
         return {name: self.predict_sequence(seq) for name, seq in seqs.items()}

@@ -123,3 +123,18 @@ def test_aggregate_sequences():
     assert out["01_C"].shape == (5, 4)
     np.testing.assert_array_equal(out["01_C"][:3], 1.0)
     np.testing.assert_array_equal(out["01_C"][3:], 2.0)
+
+
+def test_fold_lists_duplicate_headers(tmp_path):
+    """The real fold-lists.csv repeats `fold1..fold5` for both tasks; the
+    reference resolves the second group via pandas duplicate mangling
+    (`fold1.1`). Our parser must replicate that (src/data_loader.py:31-35)."""
+    p = tmp_path / "fold-lists.csv"
+    p.write_text(
+        "reading,,,,,interview,,,,\n"
+        "fold1,fold2,fold3,fold4,fold5,fold1,fold2,fold3,fold4,fold5\n"
+        "01_CF56_1.wav,02_CM57_2,,,,'07_PM41_2',,,08_CF30_1,\n"
+    )
+    r, i = load_fold_lists(str(p))
+    assert r == {"01_CF56_1": 1, "02_CM57_2": 2}
+    assert i == {"07_PM41_2": 1, "08_CF30_1": 4}

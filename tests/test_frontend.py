@@ -115,3 +115,18 @@ def test_framed_stft_batch():
     x = jnp.zeros((4, 8000), dtype=jnp.float32)
     frames, mag = fe.framed_stft(x, cfg)
     assert frames.shape[0] == 4 and mag.shape[0] == 4
+
+
+def test_mel_filterbank_weights_linear_in_mel():
+    """HTK/openSMILE htkcompatible triangles are linear on the mel axis
+    (regression: weights were computed linear in Hz)."""
+    n_fft, sr = 512, 16000
+    fb = fe.mel_filterbank(26, n_fft, sr, 20.0, 8000.0)
+    mel_pts = np.linspace(fe.hz_to_mel(20.0), fe.hz_to_mel(8000.0), 28)
+    bin_mels = fe.hz_to_mel(np.arange(n_fft // 2 + 1) * sr / n_fft)
+    for m in (0, 7, 25):
+        lo, ctr, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (bin_mels - lo) / (ctr - lo)
+        down = (hi - bin_mels) / (hi - ctr)
+        expect = np.maximum(0.0, np.minimum(up, down))
+        np.testing.assert_allclose(fb[:, m], expect, atol=1e-12)

@@ -71,3 +71,13 @@ def test_corrupt_file(tmp_path):
     p.write_bytes(b"RIFFxxxxWAVEjunk")
     with pytest.raises(ValueError):
         native_io.decode_mono(str(p))
+
+
+def test_load_corpus_duplicate_basenames_raise(tmp_path):
+    a = tmp_path / "s1"; a.mkdir()
+    b = tmp_path / "s2"; b.mkdir()
+    x = np.zeros((1600, 1), dtype=np.float32)
+    for d in (a, b):
+        write_wav(str(d / "clip_001.wav"), x, 16000)
+    with pytest.raises(ValueError, match="duplicate basenames"):
+        native_io.load_corpus_mono_16k([str(a / "clip_001.wav"), str(b / "clip_001.wav")])

@@ -80,3 +80,31 @@ def test_sinc_upsample():
     t_out = np.arange(len(y)) / sr_out
     sl = slice(100, -100)
     assert np.max(np.abs(y[sl] - np.sin(2 * np.pi * 440 * t_out)[sl])) < 1e-2
+
+
+def test_sinc_downsample_antialiasing():
+    """A tone above the target Nyquist must be strongly attenuated.
+
+    Regression: the Hann window argument used to span ±scale instead of ±1
+    over the widened kernel support, zeroing ~2/3 of the taps and leaving
+    ~3.8e-5 RMS aliasing; the corrected window leaves ~1.4e-6.
+    """
+    from robust_speech_analysis_framework_tpu.audio.resample import resample_sinc_np
+
+    sr_in, sr_out = 44100, 16000
+    t = np.arange(44100) / sr_in
+    x = np.sin(2 * np.pi * 10000 * t)  # 10 kHz > 8 kHz target Nyquist
+    y = resample_sinc_np(x, sr_in, sr_out, precision=50)
+    sl = slice(400, -400)
+    assert np.sqrt(np.mean(y[sl] ** 2)) < 5e-6
+
+
+def test_sinc_np_matches_jax():
+    from robust_speech_analysis_framework_tpu.audio.resample import resample_sinc_np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=4000).astype(np.float32)
+    a = np.asarray(resample_sinc(x, 44100, 16000, precision=20))
+    b = resample_sinc_np(x, 44100, 16000, precision=20)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=5e-4)  # f32 device vs f64 host accumulation
