@@ -155,7 +155,7 @@ def _cmd_reproduce(args) -> int:
     comparison = run_reproduction(
         args.corpus, args.processed,
         wav2vec2_checkpoint=args.wav2vec2_checkpoint,
-        out_path=args.out, verbose=not args.quiet,
+        out_dir=args.out_dir, verbose=not args.quiet,
     )
     n_off = int((~comparison["within_noise"] & ~comparison["missing"]).sum())
     return 1 if n_off else 0
@@ -247,7 +247,9 @@ def main(argv=None) -> int:
     p.add_argument("--corpus", required=True)
     p.add_argument("--processed", required=True)
     p.add_argument("--wav2vec2-checkpoint", default=None)
-    p.add_argument("--out", default=None)
+    p.add_argument("--out-dir", default=None,
+                   help="directory for the comparison CSV + JSON report "
+                        "(default: <processed>/reproduction)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=_cmd_reproduce)
 

@@ -111,6 +111,7 @@ def run_dl_standard_kfold_cv(
     batch_size: int = 8,
     seed: int = 42,
     verbose: bool = False,
+    use_length_masking: bool = True,
 ) -> Tuple[pd.DataFrame, List[dict], List[dict], np.ndarray]:
     """Standard stratified K-fold with fixed hyperparameters.
 
@@ -135,6 +136,7 @@ def run_dl_standard_kfold_cv(
             batch_size=batch_size,
             seed=seed + fold,
             dropout_rate=float(hyperparams.get("dropout_rate", 0.5)),
+            use_length_masking=use_length_masking,
         )
         state, th, vh = train_model(
             trainer,
@@ -164,6 +166,7 @@ def _inner_cv_score(
     inner_epochs: int,
     inner_batch_size: int,
     seed: int,
+    use_length_masking: bool = True,
 ) -> float:
     """Mean inner-fold macro-F1 at fixed short training (reference
     _objective: 3 folds × 15 epochs × batch 4, :224-254)."""
@@ -180,6 +183,7 @@ def _inner_cv_score(
             batch_size=inner_batch_size,
             seed=seed,
             dropout_rate=float(params.get("dropout_rate", 0.5)),
+            use_length_masking=use_length_masking,
             # the reference _objective trains plain Adam for a FIXED 15
             # epochs and scores the final-epoch weights — no plateau decay,
             # no best-val restore (src/dl_cv_strategies.py:234-248); both
@@ -216,6 +220,7 @@ def run_dl_nested_cv(
     seed: int = 42,
     search_space: Optional[Mapping[str, tuple]] = None,
     verbose: bool = False,
+    use_length_masking: bool = True,
 ) -> Tuple[pd.DataFrame, List[dict], np.ndarray]:
     """Nested CV: per-outer-fold TPE hyperparameter search + final training.
 
@@ -246,6 +251,7 @@ def run_dl_nested_cv(
             return _inner_cv_score(
                 cache, params, X_tv, y_tv, n_splits_inner,
                 inner_epochs, inner_batch_size, seed,
+                use_length_masking=use_length_masking,
             )
 
         study = Study(direction="maximize", sampler=TPESampler(seed=seed + fold))
@@ -266,6 +272,7 @@ def run_dl_nested_cv(
             batch_size=batch_size,
             seed=seed + fold,
             dropout_rate=float(best_params.get("dropout_rate", 0.5)),
+            use_length_masking=use_length_masking,
         )
         state, _, _ = train_model(
             trainer,

@@ -55,19 +55,34 @@ def f1_macro(y_true, y_pred) -> float:
     return precision_recall_f1_macro(y_true, y_pred)[2]
 
 
+def _binary_pos_mask(y_true) -> np.ndarray:
+    """Positive-class mask with sklearn's default semantics: the positive
+    label is the GREATER of the two classes present (so {0,1}→1, {1,2}→2,
+    {'Control','Patient'}→'Patient'); raises on >2 classes."""
+    classes = np.unique(y_true)
+    if len(classes) > 2:
+        raise ValueError(f"binary metrics require ≤2 classes, got {classes!r}")
+    if len(classes) == 1 and classes[0] in (0, 1):
+        # degenerate single-class {0,1} input: keep 1-is-positive semantics
+        return y_true == 1
+    return y_true == classes[-1]
+
+
 def roc_curve(y_true, y_score) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """ROC curve (fpr, tpr, thresholds) over distinct score thresholds.
 
     Points are emitted only at score boundaries (ties collapsed), descending
-    thresholds, with the conventional (0, 0) origin prepended.
+    thresholds, with the conventional (0, 0) origin prepended. ``y_score``
+    is the score of the positive class (the greater label).
     """
     y_true, y_score = _as1d(y_true), _as1d(y_score)
+    pos_mask = _binary_pos_mask(y_true)
     order = np.argsort(-y_score, kind="mergesort")
     y_true, y_score = y_true[order], y_score[order]
     # Indices where the score changes — curve vertices.
     distinct = np.where(np.diff(y_score))[0]
     idx = np.r_[distinct, y_true.size - 1]
-    tps = np.cumsum(y_true == 1)[idx]
+    tps = np.cumsum(pos_mask[order])[idx]
     fps = 1 + idx - tps
     tps = np.r_[0, tps]
     fps = np.r_[0, fps]
@@ -84,7 +99,7 @@ def roc_auc_score(y_true, y_score) -> float:
     integration of the tie-collapsed ROC curve.
     """
     y_true, y_score = _as1d(y_true), _as1d(y_score)
-    pos = y_true == 1
+    pos = _binary_pos_mask(y_true)
     n_pos = int(pos.sum())
     n_neg = int(len(y_true) - n_pos)
     if n_pos == 0 or n_neg == 0:

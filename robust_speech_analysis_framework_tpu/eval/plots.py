@@ -114,10 +114,11 @@ def save_all(results: Mapping[str, dict], out_dir: str) -> Dict[str, str]:
         fig.savefig(p, dpi=120)
         written["optimism_bias"] = p
 
-    hist_lists = [r["histories"] for r in results.values() if "histories" in r]
-    if hist_lists:
-        fig = loss_curves_plot(hist_lists[0])
-        p = os.path.join(out_dir, "loss_curves.png")
+    for name, r in results.items():
+        if "histories" not in r:
+            continue
+        fig = loss_curves_plot(r["histories"])
+        p = os.path.join(out_dir, f"loss_curves_{name}.png")
         fig.savefig(p, dpi=120)
-        written["loss_curves"] = p
+        written[f"loss_curves_{name}"] = p
     return written

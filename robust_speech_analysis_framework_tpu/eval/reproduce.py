@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Dict, Mapping, Optional
 
@@ -113,6 +114,17 @@ def compare_to_published(
     return pd.DataFrame(rows)
 
 
+def _json_sanitize(obj):
+    """NaN/inf → None recursively so the report stays RFC-8259 JSON."""
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
+
+
 def reproduction_report(comparison: pd.DataFrame) -> dict:
     """Summary dict for the JSON report."""
     done = comparison[~comparison["missing"]]
@@ -136,7 +148,7 @@ def run_reproduction(
     corpus_dir: str,
     processed_dir: str,
     wav2vec2_checkpoint: Optional[str] = None,
-    out_path: Optional[str] = None,
+    out_dir: Optional[str] = None,
     verbose: bool = True,
 ) -> pd.DataFrame:
     """Full 24-experiment battery + comparison (corpus + checkpoint needed).
@@ -145,7 +157,7 @@ def run_reproduction(
     ``processed_dir`` (skip-if-exists), the SVM battery runs on the 9
     datasets, the CNN-LSTM battery on the 3 sequence sets (tuned +
     standard). Writes ``reproduction_report.json`` and the comparison CSV
-    next to ``processed_dir`` unless ``out_path`` overrides.
+    into ``out_dir`` (default: ``<processed_dir>/reproduction``).
     """
     from ..experiments import (
         extract_all_features,
@@ -184,12 +196,12 @@ def run_reproduction(
 
     comparison = compare_to_published(results)
     report = reproduction_report(comparison)
-    base = out_path or processed_dir
+    base = out_dir or os.path.join(processed_dir, "reproduction")
     os.makedirs(base, exist_ok=True)
     comparison.to_csv(os.path.join(base, "reproduction_comparison.csv"),
                       index=False)
     with open(os.path.join(base, "reproduction_report.json"), "w") as fh:
-        json.dump(report, fh, indent=2)
+        json.dump(_json_sanitize(report), fh, indent=2)
     if verbose:
         print(json.dumps(report, indent=2))
     return comparison

@@ -39,9 +39,18 @@ def _values(X) -> np.ndarray:
 
 
 def default_k_grid(n_features: int) -> List[int]:
-    if n_features < 50:
-        return [5, 10, 15, 20, min(25, n_features)]
-    return [10, 20, 30, 40, 50]
+    """Reference k grids (cv_strategies.py:122-126), clamped to the feature
+    count and de-duplicated: SelectKBest would silently clamp k>d, making the
+    grid search fit identical duplicate models and report a best_k_found
+    larger than the actual number of selected features."""
+    grid = [5, 10, 15, 20, 25] if n_features < 50 else [10, 20, 30, 40, 50]
+    seen, out = set(), []
+    for k in grid:
+        k = min(k, n_features)
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
 
 
 def run_svm_standard_kfold_cv(

@@ -41,7 +41,14 @@ class TrainConfig:
     seed: int = 0
     plateau_factor: float = 0.1
     plateau_patience: int = 5
-    use_length_masking: bool = False  # reference parity: padding unmasked
+    # Mask padded timesteps (attention/LSTM/conv reads). The torch reference
+    # is unmasked, but it pads only to the BATCH max; our bucket ladder pads
+    # further, so unmasked here would amplify padding effects beyond the
+    # reference and make logits depend on co-batched sequence lengths.
+    # Masked logits are padding-invariant (except train-mode BN batch stats)
+    # and deterministic per sequence — set False for strict unmasked parity
+    # experiments.
+    use_length_masking: bool = True
     min_bucket: int = 64
     # runtime dropout rate passed into the model as a TRACED scalar: one
     # compiled step serves every sampled rate of a hyperparameter search
@@ -243,7 +250,6 @@ def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
     shapes = {s for s in shapes if (rate_tag, s) not in trainer.warmed_shapes}
     if not shapes:
         return
-    trainer.warmed_shapes.update((rate_tag, s) for s in shapes)
 
     rng = jax.random.PRNGKey(0)  # separate key: must not consume the
     # training rng stream (warmup on/off yields identical histories)
@@ -270,6 +276,11 @@ def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
 
     with ThreadPoolExecutor(max_workers=min(8, max(len(shapes), 1))) as ex:
         list(ex.map(compile_one, sorted(shapes)))
+    # memoize only after every compile succeeded: a transient compile-service
+    # failure must not permanently disable warmup for these shapes on a
+    # cached Trainer (the jit caches keep whatever did compile, so a retry
+    # only re-dispatches the cheap already-compiled calls)
+    trainer.warmed_shapes.update((rate_tag, s) for s in shapes)
 
 
 def _mean_val_loss(trainer, state, sequences, labels, cfg) -> float:

@@ -208,6 +208,13 @@ class Study:
         if existing is None:
             self._spaces[name] = space
             return space
+        if existing != space:
+            # Optuna-equivalent guard: silently sampling from the stale
+            # space would confine the search to the first-seen bounds.
+            raise ValueError(
+                f"parameter {name!r} re-suggested with a different space: "
+                f"{existing!r} vs {space!r}"
+            )
         return existing
 
     @property

@@ -110,6 +110,7 @@ def test_plots_render(tmp_path):
     written = save_all(results, str(tmp_path))
     import os
 
-    assert {"f1_boxplot", "mean_roc", "optimism_bias", "loss_curves"} <= set(written)
+    assert {"f1_boxplot", "mean_roc", "optimism_bias",
+            "loss_curves_mshds_reading_standard"} <= set(written)
     for p in written.values():
         assert os.path.getsize(p) > 1000

@@ -62,3 +62,26 @@ def test_mean_roc_interpolated_shape():
     grid, mean_tpr, std_tpr = M.mean_roc_interpolated(folds)
     assert grid.shape == mean_tpr.shape == std_tpr.shape == (100,)
     assert mean_tpr[-1] == 1.0
+
+
+def test_roc_auc_pos_label_is_greater_class():
+    """sklearn semantics: positive label is the greater class, whatever the
+    encoding (regression: label 1 was hardcoded positive)."""
+    from sklearn.metrics import roc_auc_score as sk_auc
+
+    rng = np.random.default_rng(11)
+    y01 = rng.integers(0, 2, 40)
+    score = rng.random(40)
+    for remap in (lambda y: y + 1, lambda y: np.where(y == 1, "Patient", "Control")):
+        y = remap(y01)
+        ours = M.roc_auc_score(y, score)
+        try:
+            theirs = sk_auc(y01, score)
+        except ValueError:
+            continue
+        np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_roc_auc_three_classes_raise():
+    with pytest.raises(ValueError, match="2 classes"):
+        M.roc_auc_score([0, 1, 2, 1], [0.1, 0.5, 0.9, 0.4])

@@ -83,3 +83,16 @@ def test_log_scale_sampling_spans_decades():
 def test_direction_validation():
     with pytest.raises(ValueError):
         Study(direction="sideways")
+
+
+def test_respaced_parameter_raises():
+    """Re-suggesting a parameter with different bounds must error (Optuna
+    behavior), not silently sample from the first-seen space."""
+    study = Study(direction="minimize", seed=0)
+
+    def objective(trial):
+        lo = 1e-5 if trial.number == 0 else 1e-4
+        return trial.suggest_float("lr", lo, 1e-3, log=True)
+
+    with pytest.raises(ValueError, match="different space"):
+        study.optimize(objective, n_trials=2)
