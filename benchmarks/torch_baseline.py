@@ -24,9 +24,11 @@ BATCH = 8
 REPS = 5
 
 
-def build_torch_model(cnn_channels=128, lstm_hidden=128):
+def build_torch_model(cnn_channels=128, lstm_hidden=128, activation="silu"):
     import torch
     import torch.nn as nn
+
+    act_cls = {"silu": nn.SiLU, "gelu": nn.GELU}[activation]
 
     class Residual1d(nn.Module):
         def __init__(self, cin, cout):
@@ -34,7 +36,7 @@ def build_torch_model(cnn_channels=128, lstm_hidden=128):
             self.body = nn.Sequential(
                 nn.Conv1d(cin, cout, 3, padding=1),
                 nn.BatchNorm1d(cout),
-                nn.SiLU(),
+                act_cls(),
                 nn.Dropout(0.2),
                 nn.Conv1d(cout, cout, 3, padding=1),
                 nn.BatchNorm1d(cout),
@@ -44,7 +46,7 @@ def build_torch_model(cnn_channels=128, lstm_hidden=128):
                 if cin != cout
                 else nn.Identity()
             )
-            self.act = nn.SiLU()
+            self.act = act_cls()
 
         def forward(self, x):
             return self.act(self.body(x) + self.skip(x))

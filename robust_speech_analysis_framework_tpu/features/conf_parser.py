@@ -96,10 +96,15 @@ def opensmile_config_from_conf(text: str):
     viterbi = _get(s, "cPitchSmootherViterbi")
     gate = _get(s, "cValbasedSelector")
     jit = _get(s, "cPitchJitter")
-    wave = _get(s, "cWaveSource")
 
+    # cWaveSource.sampleRate is NOT honored: openSMILE itself only uses that
+    # field for headerless raw input and takes the rate from the WAV header
+    # otherwise (Androids.conf:65-69 declares 44100 while the pipeline here
+    # feeds 16 kHz decoded audio). Frame geometry is specified in SECONDS,
+    # so pinning sample_rate to the pipeline rate keeps frameSize/frameStep
+    # and the Hz-axis parameters (mel band edges, pitch ranges) correct.
     frontend = FrontendConfig(
-        sample_rate=_i(wave, "sampleRate", 16000),
+        sample_rate=16000,
         frame_seconds=_f(framer, "frameSize", 0.025),
         hop_seconds=_f(framer, "frameStep", 0.010),
         preemphasis=_f(pre, "k", 0.97),

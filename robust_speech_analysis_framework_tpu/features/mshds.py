@@ -512,14 +512,32 @@ def _extract_corpus(
         ),
         [None] * n, "ltas",
     )
+    # Reference (src/mshds_extractor.py:277-297): EVERY voiced segment with
+    # tmin < tmax goes through 'To PowerCepstrogram', whose too-short-for-
+    # one-window failure sits OUTSIDE the per-segment try and NaNs the whole
+    # file's CPP. Praat frames the 10 kHz-resampled segment with a
+    # 2/pitch_floor window, so feasibility is judged on the same grid the
+    # batch kernel uses.
+    from ..ops.pitch import praat_frame_grid
+
+    window_s = 2.0 / 60.0
     items = []
     for i in range(n):
         try:
             segments = vuv_intervals(
                 cpp_pulses[i], len(xs[i]) / sr, max_period=0.02
             )
-            segs = [(a, b) for a, b, lab in segments
-                    if lab == "V" and b - a >= 0.06]
+            segs = []
+            for a, b, lab in segments:
+                if lab != "V" or b <= a:
+                    continue
+                seg_len = min(int(b * sr10k), len(x10k[i])) - min(
+                    int(a * sr10k), len(x10k[i])
+                )
+                if praat_frame_grid(max(seg_len, 0), sr10k, window_s, 0.002)[0] < 1:
+                    segs = []  # whole-file NaN, as the reference's outer try
+                    break
+                segs.append((a, b))
         except Exception:
             segs = []
         items.append((x10k[i], segs))

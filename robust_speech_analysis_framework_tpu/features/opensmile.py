@@ -467,12 +467,25 @@ class OpenSmileExtractor:
         return pd.DataFrame(rows)
 
 
+_EXTRACTOR_CACHE: Dict[OpenSmileConfig, "OpenSmileExtractor"] = {}
+
+
+def _cached_extractor(config: OpenSmileConfig) -> "OpenSmileExtractor":
+    """One extractor per config: the jitted stages are instance-bound, so a
+    fresh instance per call would recompile every bucket shape (the reading
+    and interview passes of one run share all compiled programs this way)."""
+    if config not in _EXTRACTOR_CACHE:
+        _EXTRACTOR_CACHE[config] = OpenSmileExtractor(config)
+    return _EXTRACTOR_CACHE[config]
+
+
 def extract_opensmile_features(
     input_df: pd.DataFrame,
     config: OpenSmileConfig = OpenSmileConfig(),
     audio_file_column: str = "filepath",
     verbose: bool = True,
     waveforms: Optional[Mapping[str, np.ndarray]] = None,
+    extractor: Optional["OpenSmileExtractor"] = None,
 ) -> pd.DataFrame:
     """DataFrame front door with the reference extractor's API shape
     (src/opensmile_extractor.py:9-103): one row per file, 'filename' +
@@ -484,7 +497,7 @@ def extract_opensmile_features(
             columns=["filename"] + feature_columns(config.reference_compat)
         )
 
-    ex = OpenSmileExtractor(config)
+    ex = extractor if extractor is not None else _cached_extractor(config)
     wavs: Dict[str, np.ndarray] = {}
     for path in input_df[audio_file_column]:
         name = os.path.basename(path)

@@ -40,11 +40,16 @@ from flax import linen as nn
 
 
 def get_activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """silu/gelu lookup (same legal set as reference src/models.py:7-25)."""
+    """silu/gelu lookup (same legal set as reference src/models.py:7-25).
+
+    gelu is the EXACT erf form: torch ``F.gelu`` defaults to exact, while
+    flax ``nn.gelu`` defaults to the tanh approximation (~1e-3 deviation
+    near |x|≈2, which compounds through the conv/BN/LSTM stack).
+    """
     if name == "silu":
         return nn.silu
     if name == "gelu":
-        return nn.gelu
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(f"Unsupported activation function: {name}")
 
 

@@ -59,7 +59,10 @@ def test_parse_sections_and_values():
 
 def test_config_mapping():
     cfg = opensmile_config_from_conf(SAMPLE)
-    assert cfg.frontend.sample_rate == 44100
+    # cWaveSource.sampleRate (44100) must NOT leak into frame geometry:
+    # the pipeline feeds 16 kHz audio and openSMILE takes the rate from
+    # the WAV header, not the conf
+    assert cfg.frontend.sample_rate == 16000
     assert cfg.frontend.frame_seconds == 0.025
     assert cfg.frontend.preemphasis == 0.97
     assert cfg.shs.max_pitch == 620

@@ -66,6 +66,21 @@ def ported():
     return tmodel, sd
 
 
+@pytest.fixture(scope="module")
+def ported_gelu():
+    import benchmarks.torch_baseline as tb
+
+    torch.manual_seed(1)
+    old_dim = tb.DIM
+    tb.DIM = 24
+    try:
+        tmodel = tb.build_torch_model(cnn_channels=8, lstm_hidden=8,
+                                      activation="gelu").eval()
+    finally:
+        tb.DIM = old_dim
+    return tmodel, _reference_style_state_dict(tmodel)
+
+
 def test_infer_architecture(ported):
     _, sd = ported
     arch = infer_architecture(sd)
@@ -83,6 +98,31 @@ def test_forward_parity(ported):
     variables = port_torch_cnn_lstm(sd)
     model = CNNLSTM(input_dim=24, cnn_out_channels=8, lstm_hidden_dim=8)
     rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 40, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(x)).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_gelu_is_exact_erf_form():
+    """torch F.gelu defaults to exact erf; flax nn.gelu defaults to the tanh
+    approximation — the lookup must pin approximate=False (regression)."""
+    from robust_speech_analysis_framework_tpu.models.cnn_lstm import get_activation_fn
+
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    with torch.no_grad():
+        ref = torch.nn.functional.gelu(torch.tensor(x)).numpy()
+    ours = np.asarray(get_activation_fn("gelu")(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_forward_parity_gelu(ported_gelu):
+    tmodel, sd = ported_gelu
+    variables = port_torch_cnn_lstm(sd)
+    model = CNNLSTM(input_dim=24, cnn_out_channels=8, lstm_hidden_dim=8,
+                    activation_fn="gelu")
+    rng = np.random.default_rng(1)
     x = rng.normal(size=(3, 40, 24)).astype(np.float32)
     with torch.no_grad():
         ref = tmodel(torch.tensor(x)).numpy()
