@@ -118,7 +118,9 @@ def speechrate_features(
         thresh_abs = max(q99 + silencedb, min_int)  # peak floor, absolute dB
         thresh_rel = silencedb - (max_int - q99)  # silence cut, re contour max
 
-        intervals = silence_intervals(intensity, thresh_rel, minpause, 0.1)
+        intervals = silence_intervals(
+            intensity, thresh_rel, minpause, 0.1, total_duration=len(x) / sr
+        )
         sounding = [(a, b) for a, b, lab in intervals if lab == "sounding"]
         if not sounding:
             return nan5
@@ -525,7 +527,9 @@ def _extract_corpus(
     for i in range(n):
         try:
             segments = vuv_intervals(
-                cpp_pulses[i], len(xs[i]) / sr, max_period=0.02
+                cpp_pulses[i], len(xs[i]) / sr, max_period=0.02,
+                mean_period=0.1,  # the reference's literal vuv call
+                # (src/mshds_extractor.py:272): 50 ms pads per side
             )
             segs = []
             for a, b, lab in segments:

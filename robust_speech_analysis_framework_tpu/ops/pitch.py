@@ -55,7 +55,11 @@ class PitchParams:
 
     @property
     def dt(self) -> float:
-        return self.time_step if self.time_step > 0 else 0.75 / self.floor
+        # Praat default: periodsPerWindow / (4 · floor) — 0.75/floor for ac,
+        # 0.25/floor for cc, doubled when very accurate (Sound_to_Pitch_any).
+        if self.time_step > 0:
+            return self.time_step
+        return self.periods_per_window / (4.0 * self.floor)
 
 
 class PitchTrack(NamedTuple):
@@ -68,18 +72,35 @@ class PitchTrack(NamedTuple):
         return self.f0 > 0
 
     def value_at_time(self, t) -> np.ndarray:
-        """Linear interpolation between voiced frames; NaN in unvoiced spans
-        (parity with parselmouth ``pitch.get_value_at_time``)."""
+        """Praat ``Pitch: Get value at time (linear)`` semantics.
+
+        Praat's Sampled_getValueAtX interpolates between the NEAR and FAR
+        frames around ``t`` and falls back to CONSTANT extrapolation from the
+        near frame when the far frame is undefined (unvoiced) or outside the
+        grid — so a query in the near half of a voiced→unvoiced boundary gap
+        (or within dt/2 past the edge centers) returns the voiced value, not
+        NaN. NaN only when the near frame itself is unvoiced/out of range.
+        """
         t = np.atleast_1d(np.asarray(t, dtype=np.float64))
         f0 = np.where(self.f0 > 0, self.f0, np.nan)
-        dt = self.times[1] - self.times[0] if len(self.times) > 1 else 1.0
-        pos = (t - self.times[0]) / dt
-        i0 = np.clip(np.floor(pos).astype(int), 0, len(f0) - 1)
-        i1 = np.clip(i0 + 1, 0, len(f0) - 1)
-        w = np.clip(pos - i0, 0.0, 1.0)
-        vals = (1 - w) * f0[i0] + w * f0[i1]
-        out_of_range = (t < self.times[0]) | (t > self.times[-1])
-        vals = np.where(out_of_range, np.nan, vals)
+        n = len(f0)
+        dt = self.times[1] - self.times[0] if n > 1 else 1.0
+        ireal = (t - self.times[0]) / dt
+        ileft = np.floor(ireal).astype(int)
+        phase = ireal - ileft
+        lo = phase < 0.5
+        inear = np.where(lo, ileft, ileft + 1)
+        ifar = np.where(lo, ileft + 1, ileft)
+        ph = np.where(lo, phase, 1.0 - phase)
+        near_in = (inear >= 0) & (inear < n)
+        far_in = (ifar >= 0) & (ifar < n)
+        fnear = f0[np.clip(inear, 0, n - 1)]
+        ffar = f0[np.clip(ifar, 0, n - 1)]
+        vals = np.where(
+            ~near_in,
+            np.nan,
+            np.where(~far_in | np.isnan(ffar), fnear, fnear + ph * (ffar - fnear)),
+        )
         return vals if vals.shape != (1,) else vals[0]
 
     # --- summary statistics (Praat "Get mean/standard deviation") ---------
@@ -183,15 +204,24 @@ def _find_candidates(
     r_peak = r + 0.5 * dr * delta
     r_peak = jnp.minimum(r_peak, 1.0)
     freq = 1.0 / jnp.maximum(tau, 1e-9)
-    strength = r_peak - octave_c * jnp.log2(jnp.maximum(floor * tau, 1e-12))
-    strength = jnp.where(valid, strength, -jnp.inf)
+    # Floor-referenced score R = r − octave_cost·log2(floor·τ) ranks the
+    # candidates WITHIN a frame (Boersma eq. 24 / Sound_to_Pitch_any's
+    # top-k selection). The PATH strength handed to the Viterbi is Praat's
+    # Pitch_pathFinder form r − octave_cost·log2(ceiling/f): the two differ
+    # by the constant octave_cost·log2(ceiling/floor), which matters against
+    # the absolute unvoiced-candidate strength.
+    sel_strength = r_peak - octave_c * jnp.log2(jnp.maximum(floor * tau, 1e-12))
+    sel_strength = jnp.where(valid, sel_strength, -jnp.inf)
 
     k = max_cands - 1
-    top_strength, top_idx = jax.lax.top_k(strength, k)
+    top_sel, top_idx = jax.lax.top_k(sel_strength, k)
     top_freq = jnp.take_along_axis(freq, top_idx, axis=1)
     top_r = jnp.take_along_axis(r_peak, top_idx, axis=1)
-    keep = jnp.isfinite(top_strength)
+    keep = jnp.isfinite(top_sel)
     top_freq = jnp.where(keep, top_freq, 0.0)
+    top_strength = top_r - octave_c * jnp.log2(
+        ceiling / jnp.maximum(top_freq, 1e-12)
+    )
     top_strength = jnp.where(keep, top_strength, -1e30)
     top_r = jnp.where(keep, top_r, 0.0)
 

@@ -340,6 +340,35 @@ def point_process_cc_batch(
         return Deferred.ready(empty) if defer else empty
     first = next(tr for tr in tracks if tr is not None and len(tr.times) > 1)
     dt = float(first.times[1] - first.times[0])
+    # one dt serves every lane's f_at grid arithmetic — mixed-step track
+    # families would silently read the wrong frames
+    for tr in tracks:
+        if tr is not None and len(tr.times) > 1:
+            tr_dt = float(tr.times[1] - tr.times[0])
+            if abs(tr_dt - dt) > 1e-9:
+                raise ValueError(
+                    f"mixed pitch-track time steps in one batch: {dt} vs "
+                    f"{tr_dt}; call point_process_cc_batch per step family"
+                )
+    # fixed masked-gather windows are sized for sr ≤ 16 kHz speech floors;
+    # larger windows would be silently truncated (wrong peaks picked)
+    min_f0 = min(
+        float(np.min(tr.f0[tr.f0 > 0])) for tr in tracks
+        if tr is not None and len(tr.times) > 1 and np.any(tr.f0 > 0)
+    ) if any(
+        tr is not None and len(tr.times) > 1 and np.any(tr.f0 > 0)
+        for tr in tracks
+    ) else float("inf")
+    if np.isfinite(min_f0):
+        need_seed = int(2.0 * sr / min_f0) + 2
+        need_march = int(0.45 * sr / min_f0) + 2
+        if need_seed > _W_SEED or need_march > _W_MARCH:
+            raise ValueError(
+                f"sr={sr} with pitch floor {min_f0:.1f} Hz needs gather "
+                f"windows ({need_seed}, {need_march}) exceeding the kernel's "
+                f"({_W_SEED}, {_W_MARCH}); resample to ≤16 kHz or use the "
+                "host point_process_cc oracle"
+            )
     t_max = max(len(f) for f in f0_list)
     f0_pad = np.zeros((len(f0_list), t_max), np.float32)
     for i, f in enumerate(f0_list):
@@ -529,39 +558,44 @@ def vuv_intervals(
     pulses: np.ndarray,
     total_duration: float,
     max_period: float = 0.02,
-    mean_period_factor: float = 1.0,  # unused placeholder for API parity
+    mean_period: float = 0.01,
 ) -> List[Tuple[float, float, str]]:
     """Voiced/unvoiced segmentation from pulse gaps.
 
-    Gaps ≤ ``max_period`` chain pulses into voiced intervals (padded by half
-    a period at both ends); everything else is unvoiced. Returns
-    [(tmin, tmax, 'V'|'U'), ...] covering [0, total_duration].
+    Praat ``PointProcess: To TextGrid (vuv)`` semantics
+    (PointProcess_and_TextGrid.cpp): pulses with gaps ≤ ``max_period`` chain
+    into one voiced interval spanning [t_first − mean_period/2,
+    t_last + mean_period/2]; when consecutive padded spans overlap, the later
+    V interval starts where the earlier one ended (they stay SEPARATE
+    intervals — Praat does not merge them, and the reference's CPPS loop
+    analyzes them as separate segments). Defaults mirror Praat's command
+    defaults (0.02, 0.01); the reference's MSHDS call passes mean period 0.1
+    (src/mshds_extractor.py:272). Returns [(tmin, tmax, 'V'|'U'), ...]
+    covering [0, total_duration].
     """
     out: List[Tuple[float, float, str]] = []
-    if len(pulses) == 0:
+    n = len(pulses)
+    if n == 0:
         return [(0.0, total_duration, "U")]
-    voiced_spans = []
-    start = pulses[0]
-    prev = pulses[0]
-    for t in pulses[1:]:
-        if t - prev > max_period:
-            voiced_spans.append((start, prev))
-            start = t
-        prev = t
-    voiced_spans.append((start, prev))
-    # pad each span by half the local inter-pulse interval
-    padded = []
-    for a, b in voiced_spans:
-        pad = min(max_period / 2, 0.005)
-        padded.append((max(0.0, a - pad), min(total_duration, b + pad)))
-    cursor = 0.0
-    for a, b in padded:
-        if a > cursor:
-            out.append((cursor, a, "U"))
-        out.append((a, b, "V"))
-        cursor = b
-    if cursor < total_duration:
-        out.append((cursor, total_duration, "U"))
+    half = 0.5 * mean_period
+    begin_voiceless = 0.0
+    i = 0
+    while i < n:
+        end_voiceless = pulses[i] - half
+        if end_voiceless <= begin_voiceless:
+            end_voiceless = begin_voiceless
+        else:
+            out.append((begin_voiceless, end_voiceless, "U"))
+        j = i
+        while j + 1 < n and pulses[j + 1] - pulses[j] <= max_period:
+            j += 1
+        v_end = min(pulses[j] + half, total_duration)
+        if v_end > end_voiceless:
+            out.append((end_voiceless, v_end, "V"))
+        begin_voiceless = v_end
+        i = j + 1
+    if begin_voiceless < total_duration:
+        out.append((begin_voiceless, total_duration, "U"))
     return out
 
 
@@ -570,6 +604,7 @@ def silence_intervals(
     silence_threshold_db: float,
     min_silent_duration: float = 0.3,
     min_sounding_duration: float = 0.1,
+    total_duration: Optional[float] = None,
 ) -> List[Tuple[float, float, str]]:
     """Silent/sounding segmentation of an intensity contour.
 
@@ -577,6 +612,9 @@ def silence_intervals(
     ``max + silence_threshold_db`` (the threshold is negative, relative to
     the contour maximum). Silent runs shorter than ``min_silent_duration``
     are absorbed into the neighboring sounding intervals and vice versa.
+    Praat's TextGrid tiles the full sound domain: interior boundaries sit at
+    frame midpoints and the outer intervals extend to [0, total_duration]
+    (pass it; defaults to one half frame step past the last center).
     Returns [(tmin, tmax, 'silent'|'sounding'), ...].
     """
     v = intensity.values_db
@@ -585,8 +623,12 @@ def silence_intervals(
         return []
     thresh = v.max() + silence_threshold_db
     silent = v < thresh
-    # build runs over frame times, extended to the contour edges
-    bounds = np.concatenate([[0.0], (t[1:] + t[:-1]) / 2, [t[-1] + (t[-1] - t[-2]) if len(t) > 1 else t[-1]]])
+    # build runs over frame times, extended to the sound edges
+    dt = t[1] - t[0] if len(t) > 1 else 0.0
+    right = t[-1] + dt / 2 if total_duration is None else max(
+        total_duration, t[-1] + dt / 2 if len(t) > 1 else t[-1]
+    )
+    bounds = np.concatenate([[0.0], (t[1:] + t[:-1]) / 2, [right]])
     runs: List[Tuple[float, float, bool]] = []
     k = 0
     for m in range(1, len(v) + 1):

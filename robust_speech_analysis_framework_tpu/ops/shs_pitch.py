@@ -244,15 +244,24 @@ def _viterbi_state_inputs(
     when voicing is low), plus wRange·|log2(f/center)| as a range prior.
     Returns (local (T, S), states_f (T, S), is_voiced (T, S))."""
     t, c = freqs.shape
+    # Range-prior center: geometric-mean F0 over confidently-voiced frames
+    # with a NONZERO top candidate (a zero candidate must not drag the mean
+    # toward log(1)=0 while inflating the denominator). When no frame
+    # qualifies, there is no evidence for a speaker range — disable the
+    # range cost rather than collapsing the center to 1 Hz, which would
+    # veto every voiced state in [52, 620] Hz.
+    confident = (voicing > params.voicing_cutoff) & (freqs[:, 0] > 0)
+    n_confident = jnp.sum(confident)
     center = jnp.exp(
-        jnp.sum(jnp.log(jnp.maximum(freqs[:, 0], 1.0)) * (voicing > params.voicing_cutoff))
-        / jnp.maximum(jnp.sum(voicing > params.voicing_cutoff), 1.0)
+        jnp.sum(jnp.log(jnp.maximum(freqs[:, 0], 1.0)) * confident)
+        / jnp.maximum(n_confident, 1)
     )
 
     voiced_local = params.w_local * (1.0 - scores)
     range_cost = params.w_range * jnp.abs(
         jnp.log2(jnp.maximum(freqs, 1.0) / jnp.maximum(center, 1.0))
     )
+    range_cost = jnp.where(n_confident > 0, range_cost, 0.0)
     voiced_local = voiced_local + jnp.where(freqs > 0, range_cost, 1e6)
     unvoiced_local = params.w_thr * (voicing - params.voicing_cutoff)
 

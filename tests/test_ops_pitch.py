@@ -210,3 +210,38 @@ def test_point_process_cc_batch_matches_host_oracle():
             assert overlap > 0.97, f"file {i}: overlap {overlap:.3f}"
         np.testing.assert_allclose(got[i], got[i + 3])  # family split intact
     assert total_ref > 100  # the signals produce substantial pulse trains
+
+
+def test_value_at_time_praat_boundary_semantics():
+    """Praat's Sampled_getValueAtX: constant extrapolation from the NEAR
+    frame when the far neighbor is unvoiced or out of range (regression:
+    0·NaN used to void queries at a voiced stretch's boundary frames)."""
+    from robust_speech_analysis_framework_tpu.ops.pitch import PitchTrack
+
+    tr = PitchTrack(
+        times=np.array([0.0, 0.005, 0.010, 0.015, 0.020]),
+        f0=np.array([100.0, 110.0, 120.0, 130.0, 0.0]),
+        strength=np.ones(5),
+    )
+    # exactly at the last voiced center (neighbor unvoiced)
+    assert tr.value_at_time(0.015) == pytest.approx(130.0)
+    # near half of the voiced->unvoiced gap: constant extrapolation
+    assert tr.value_at_time(0.016) == pytest.approx(130.0)
+    # far half of the gap: near frame is unvoiced -> NaN
+    assert np.isnan(tr.value_at_time(0.019))
+    # within dt/2 before the first center: edge extrapolation
+    assert tr.value_at_time(-0.002) == pytest.approx(100.0)
+    # beyond dt/2 before the first center: NaN
+    assert np.isnan(tr.value_at_time(-0.004))
+    # interior voiced-voiced: plain linear interpolation
+    assert tr.value_at_time(0.0075) == pytest.approx(115.0)
+
+
+def test_pitch_params_default_dt_by_method():
+    from robust_speech_analysis_framework_tpu.ops.pitch import PitchParams
+
+    assert PitchParams(floor=75.0, method="ac").dt == pytest.approx(0.01)
+    assert PitchParams(floor=75.0, method="cc").dt == pytest.approx(1 / 300)
+    assert PitchParams(floor=75.0, method="ac", very_accurate=True).dt == (
+        pytest.approx(0.02)
+    )

@@ -131,3 +131,28 @@ def test_ltas_slope_sign():
     assert lt.slope_db(50, 1000, 1000, 4000) > 0
     tilt = lt.spectral_tilt(100, 5000)
     assert tilt < 0  # dB falls with frequency
+
+
+def test_vuv_intervals_praat_padding_and_abutting():
+    """Praat To TextGrid (vuv): voiced spans padded by mean_period/2;
+    overlapping padded spans abut as SEPARATE V intervals (no merge)."""
+    pulses = np.array([0.30, 0.31, 0.32, 0.40, 0.41])
+    iv = vuv_intervals(pulses, 1.0, max_period=0.02, mean_period=0.1)
+    v = [(a, b) for a, b, lab in iv if lab == "V"]
+    assert len(v) == 2
+    assert v[0][0] == pytest.approx(0.25)   # 0.30 - 0.05
+    assert v[0][1] == pytest.approx(0.37)   # 0.32 + 0.05
+    assert v[1][0] == pytest.approx(0.37)   # clipped to previous V end
+    assert v[1][1] == pytest.approx(0.46)   # 0.41 + 0.05
+    # contiguous cover of [0, 1]
+    assert iv[0][0] == 0.0 and iv[-1][1] == 1.0
+    for (a1, b1, _), (a2, b2, _) in zip(iv, iv[1:]):
+        assert b1 == pytest.approx(a2)
+
+
+def test_silence_intervals_tile_full_duration():
+    t = np.arange(2 * SR) / SR
+    x = np.sin(2 * np.pi * 300 * t) * np.where((t > 0.7) & (t < 1.4), 0.001, 0.5)
+    ic = intensity_contour(x, SR, minimum_pitch=50, time_step=0.016)
+    iv = silence_intervals(ic, -25.0, 0.3, 0.1, total_duration=2.0)
+    assert iv[0][0] == 0.0 and iv[-1][1] == pytest.approx(2.0)
