@@ -6,8 +6,15 @@ Replaces the Praat path of the reference's CPP feature
 
 * resample to 2×max_frequency, optional preemphasis from 50 Hz;
 * Gaussian windows of 2/pitch_floor seconds every ``time_step``;
-* per frame: power spectrum → dB → power cepstrum
-  ``|FFT(log-power-spectrum)|²`` expressed in dB;
+* per frame: power spectrum → ln power → power cepstrum = the SQUARE of the
+  symmetric real inverse DFT (Praat Spectrum_to_PowerCepstrum: the log
+  spectrum is Hermitian, so its inverse transform is real — an
+  ``|FFT(·)|²`` construction would add a spurious quefrency-dependent Im²
+  term of several dB);
+* cepstrogram smoothing in the POWER domain, time (0.01 s) then quefrency
+  (0.001 s), with a truncated Gaussian kernel (Praat ≥6.0.37 smooths with a
+  Gaussian; exact kernel shape pending a parselmouth oracle — see
+  PARITY.md);
 * CPPS per frame: highest cepstral peak (parabolic) inside the quefrency
   band [1/f_max, 1/f_min], minus a robust (iteratively reweighted) straight
   line fit of cepstrum-dB over quefrency; averaged over frames.
@@ -34,11 +41,59 @@ class PowerCepstrogram(NamedTuple):
 
 @partial(jax.jit, static_argnums=(1,))
 def _cepstrum_frames(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
-    from .dft import power_of_real_dft, rfft_power
+    """Power cepstrum of each frame: (real symmetric IDFT of ln|X|²)².
+
+    Praat's Spectrum_to_PowerCepstrum takes the log power spectrum (real,
+    imaginary part zeroed) back through Spectrum_to_Sound — a Hermitian-
+    symmetric inverse transform whose output is real — and squares it. The
+    inverse-of-symmetric-spectrum is exactly the autocorrelation basis
+    (cos-basis GEMM on TPU / irfft elsewhere). Global scale factors (ln vs
+    log10, 1/n_fft) shift every frame's dB by a constant and cancel in the
+    peak-minus-trend prominence.
+    """
+    from .dft import autocorr_via_power, rfft_power
 
     power = rfft_power(frames, n_fft)
-    log_power = jnp.log10(jnp.maximum(power, 1e-30))
-    return power_of_real_dft(log_power, n_fft)
+    log_power = jnp.log(jnp.maximum(power, 1e-30))
+    c = autocorr_via_power(log_power, n_fft, n_fft // 2 + 1)
+    return c * c
+
+
+def _gauss_kernel(n_window: int) -> np.ndarray:
+    """Truncated Gaussian over offsets [-n//2, n//2], σ = n/4."""
+    half = n_window // 2
+    k = np.arange(-half, half + 1, dtype=np.float64)
+    sigma = max(n_window / 4.0, 1e-6)
+    return np.exp(-0.5 * (k / sigma) ** 2)
+
+
+def _smooth_cepstrogram_power(
+    power: np.ndarray, n_t: int, n_q: int
+) -> np.ndarray:
+    """Host twin of the device smoothing: POWER-domain moving Gaussian
+    average over time then quefrency, edge-renormalized."""
+    out = np.asarray(power, np.float64)
+    for axis, n_win in ((0, n_t), (1, n_q)):
+        if n_win <= 1 or out.shape[axis] == 0:
+            continue
+        w = _gauss_kernel(n_win)
+        half = len(w) // 2
+        acc = np.zeros_like(out)
+        den = np.zeros_like(out)
+        for off, wk in zip(range(-half, half + 1), w):
+            sl = np.roll(out, off, axis=axis)
+            valid = np.ones(out.shape[axis], bool)
+            if off > 0:
+                valid[:off] = False
+            elif off < 0:
+                valid[off:] = False
+            shape = [1, 1]
+            shape[axis] = -1
+            m = valid.reshape(shape)
+            acc += wk * sl * m
+            den += wk * m
+        out = acc / np.maximum(den, 1e-30)
+    return out
 
 
 def power_cepstrogram(
@@ -98,21 +153,62 @@ def cepstrum_preprocess(
     return x, target_sr
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _shift_rows(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift along axis 0 by k (row i reads a[i-k]), zero-filled — NOT a
+    roll: wraparound would let a segment's tail smooth into its own head."""
+    if k == 0:
+        return a
+    pad = jnp.zeros((abs(k),) + a.shape[1:], a.dtype)
+    if k > 0:
+        return jnp.concatenate([pad, a[:-k]], axis=0)
+    return jnp.concatenate([a[-k:], pad], axis=0)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _gathered_cpps_prominence(
-    x_cat, starts, window,
+    x_cat, starts, window, seg_ids,
     win_len: int, n_fft: int, dq: float,
     trend_lo: int, trend_hi: int, band_lo: int, band_hi: int,
+    n_t_smooth: int = 5, n_q_smooth: int = 10,
 ):
     """Device-side CPPS core over gathered cepstrogram frames: power
-    cepstrum → dB → robust (Tukey-reweighted, 5-iteration) straight-line
+    cepstrum → segment-aware Gaussian smoothing (time then quefrency, in
+    POWER) → dB → robust (Tukey-reweighted, 5-iteration) straight-line
     trend over quefrency [trend_lo, trend_hi) → parabolic band peak in
-    [band_lo, band_hi) → per-frame prominence. Only the (N,) prominence
-    vector returns to the host."""
+    [band_lo, band_hi) → per-frame prominence. ``seg_ids`` (N,) keeps the
+    time smoothing from mixing frames of different voiced segments packed
+    into one gathered batch. Only the (N,) prominence vector returns to the
+    host."""
     from .framing import gather_frames
 
     frames = gather_frames(x_cat, starts, win_len) * window[None, :]
     ceps_pow = _cepstrum_frames(frames, n_fft)
+
+    if n_t_smooth > 1:
+        w = _gauss_kernel(n_t_smooth)
+        half = len(w) // 2
+        acc = jnp.zeros_like(ceps_pow)
+        den = jnp.zeros((ceps_pow.shape[0], 1), ceps_pow.dtype)
+        for off, wk in zip(range(-half, half + 1), w):
+            same = (_shift_rows(seg_ids, off) == seg_ids) & (seg_ids >= 0)
+            m = same[:, None].astype(ceps_pow.dtype)
+            acc = acc + wk * _shift_rows(ceps_pow, off) * m
+            den = den + wk * m
+        ceps_pow = acc / jnp.maximum(den, 1e-30)
+    if n_q_smooth > 1:
+        w = _gauss_kernel(n_q_smooth)
+        half = len(w) // 2
+        q_dim = ceps_pow.shape[1]
+        acc = jnp.zeros_like(ceps_pow)
+        den = jnp.zeros((1, q_dim), ceps_pow.dtype)
+        ones = jnp.ones((1, q_dim), ceps_pow.dtype)
+        for off, wk in zip(range(-half, half + 1), w):
+            sl = _shift_rows(ceps_pow.T, off).T
+            mv = _shift_rows(ones.T, off).T
+            acc = acc + wk * sl
+            den = den + wk * mv
+        ceps_pow = acc / jnp.maximum(den, 1e-30)
+
     v = 10.0 * jnp.log10(jnp.maximum(ceps_pow, 1e-30))
     n, Q = v.shape
     qs = jnp.arange(Q, dtype=jnp.float32) * dq
@@ -241,11 +337,19 @@ def cpps_segments_batch(
 
     x_cat = buf.x_cat if buf is not None else jnp.asarray(np.concatenate(pieces))
     all_starts = np.concatenate(start_blocks).astype(np.int32)
+    seg_ids = np.concatenate([
+        np.full(nf, si, np.int32) for si, (_, nf) in enumerate(seg_meta)
+    ])
     starts_padded, _ = pad_frames(all_starts[:, None])
+    ids_padded = np.full(starts_padded.shape[0], -1, np.int32)
+    ids_padded[: len(seg_ids)] = seg_ids
+    n_t_smooth = max(int(0.01 / time_step), 1)   # Get CPPS time window
+    n_q_smooth = max(int(0.001 / dq), 1)         # quefrency window
     prom_dev = _gathered_cpps_prominence(
         x_cat, jnp.asarray(starts_padded[:, 0]),
-        jnp.asarray(window, jnp.float32),
+        jnp.asarray(window, jnp.float32), jnp.asarray(ids_padded),
         win_len, n_fft, dq, trend_lo, trend_hi, band_lo, band_hi,
+        n_t_smooth, n_q_smooth,
     )
 
     def _finalize(prom):
@@ -309,7 +413,15 @@ def cpps(
     if len(cg.times) == 0:
         return float("nan"), np.zeros(0)
     q = cg.quefrencies
-    v = cg.cepstrum_db
+    # Get CPPS smooths the cepstrogram (time 0.01 s, quefrency 0.001 s, in
+    # POWER) before measuring prominence; the cepstrogram stores dB.
+    dt_frames = cg.times[1] - cg.times[0] if len(cg.times) > 1 else 0.002
+    dq_bins = q[1] - q[0] if len(q) > 1 else 1e-4
+    power = np.power(10.0, np.asarray(cg.cepstrum_db, np.float64) / 10.0)
+    power = _smooth_cepstrogram_power(
+        power, max(int(0.01 / dt_frames), 1), max(int(0.001 / dq_bins), 1)
+    )
+    v = 10.0 * np.log10(np.maximum(power, 1e-300))
     q_lo, q_hi = 1.0 / pitch_max, 1.0 / pitch_min
     band = (q >= q_lo) & (q <= q_hi)
     if not band.any():

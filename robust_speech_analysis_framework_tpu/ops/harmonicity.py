@@ -67,7 +67,16 @@ def _hnr_from_r(r: np.ndarray, local_peak: np.ndarray, x: np.ndarray,
                 sr: float, minimum_pitch: float, silence_threshold: float,
                 max_lag: int) -> np.ndarray:
     """Shared contour math: correlation block → per-frame HNR dB (NaN where
-    silent/unvoiced)."""
+    silent/unvoiced).
+
+    The lag floor sr/(10·minimum_pitch) (an implicit 10·minimum_pitch Hz
+    ceiling) is a deliberate substitute for Praat's full candidate +
+    path-finder machinery inside To Harmonicity (cc): a raw argmax with
+    Praat's Nyquist ceiling would latch onto formant-period correlation
+    peaks (~1/700 s) that Praat's octave cost and Viterbi continuity reject.
+    Voices with F0 above 10× the pitch floor underestimate HNR relative to
+    Praat; calibration against constructed-SNR oracles is in
+    tests/test_mshds.py."""
     lag_min = max(2, int(math.floor(sr / (minimum_pitch * 10))))
     band = r[:, lag_min : max_lag + 1]
     r_best = band.max(axis=1)

@@ -59,14 +59,18 @@ class IntensityContour(NamedTuple):
         return self._parabolic_extremum(idx, 1.0)
 
     def quantile(self, q: float) -> float:
-        """Praat 'Get quantile' (interpolated order statistic)."""
+        """Praat 'Get quantile': NUMquantile's interpolated order statistic
+        at 1-based place q·(n+1) + 0.25, left index clipped to [1, n-1]."""
         v = np.sort(self.values_db)
-        pos = q * (len(v) - 0.5) - 0.25  # Praat's quantile positioning
-        pos = min(max(pos, 0.0), len(v) - 1.0)
-        lo = int(math.floor(pos))
-        hi = min(lo + 1, len(v) - 1)
-        w = pos - lo
-        return float((1 - w) * v[lo] + w * v[hi])
+        n = len(v)
+        if n == 0:
+            return float("nan")
+        if n == 1:
+            return float(v[0])
+        place = q * (n + 1) + 0.25
+        left = int(math.floor(place))
+        left = min(max(left, 1), n - 1)
+        return float(v[left - 1] + (place - left) * (v[left] - v[left - 1]))
 
     def value_at_time(self, t, interpolation: str = "cubic") -> float:
         """Contour value at time t (linear interp; 'Cubic' in Praat differs
@@ -105,7 +109,7 @@ def intensity_contour(
     """Praat-grid intensity contour.
 
     Window duration 6.4/minimum_pitch (two Praat 3.2-period halves), Kaiser
-    β=20; default time step = window/4.
+    β = 2π²+0.5; default time step = window/4.
     """
     x = np.asarray(x, dtype=np.float64).reshape(-1)
     window_s = 6.4 / minimum_pitch
@@ -114,7 +118,10 @@ def intensity_contour(
     if n_frames < 1:
         return IntensityContour(np.zeros(0), np.zeros(0))
     win_len = int(round(window_s * sr))
-    window = jnp.asarray(np.kaiser(win_len, 20.0))
+    # Praat Sound_to_Intensity: Kaiser-20-like window with
+    # β = 2π² + 0.5 ≈ 20.24 (NUMbessel_i0_f((2π²+0.5)·sqrt(1−(2φ)²)));
+    # the I0(β) normalization in np.kaiser cancels in w/Σw
+    window = jnp.asarray(np.kaiser(win_len, 2.0 * np.pi**2 + 0.5))
     centers = t0 + np.arange(n_frames) * dt
     starts = np.clip(
         np.round(centers * sr - win_len / 2).astype(int), 0, max(len(x) - win_len, 0)
@@ -163,7 +170,10 @@ def intensity_contour_batch(
     window_s = 6.4 / minimum_pitch
     dt = time_step if time_step > 0 else window_s / 4.0
     win_len = int(round(window_s * sr))
-    window = jnp.asarray(np.kaiser(win_len, 20.0))
+    # Praat Sound_to_Intensity: Kaiser-20-like window with
+    # β = 2π² + 0.5 ≈ 20.24 (NUMbessel_i0_f((2π²+0.5)·sqrt(1−(2φ)²)));
+    # the I0(β) normalization in np.kaiser cancels in w/Σw
+    window = jnp.asarray(np.kaiser(win_len, 2.0 * np.pi**2 + 0.5))
 
     if buf is not None:
         idxs = list(indices) if indices is not None else list(range(len(buf.xs)))

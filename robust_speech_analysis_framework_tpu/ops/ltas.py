@@ -2,13 +2,21 @@
 (pitch-corrected)...``), with the slope/tilt statistics the reference reads
 from it (src/mshds_extractor.py:241-248).
 
-The pitch-corrected LTAS removes the F0 comb from the long-term spectrum by
-analyzing whole fundamental periods: glottal pulses segment the voiced
-signal into periods; consecutive periods whose durations lie within
-[shortest, longest] and whose neighbor ratio is ≤ max_period_factor are each
-Fourier-analyzed and their power accumulated into fixed-bandwidth frequency
-bins, energy-normalized per period. Slope = difference of dB band energies
-(low vs high band); tilt = robust straight-line fit of dB vs frequency.
+Praat's algorithm (fon/Ltas.cpp PointProcess_Sound_to_Ltas): for every
+INTERIOR pulse whose left and right intervals both lie within
+[shortest, longest] and whose mutual ratio is ≤ max_period_factor, the
+pulse-centered stretch [t − left/2, t + right/2] is Fourier-analyzed; each
+spectrum bin's energy |X|²·2·df is added to band ceil(f/bandwidth) (f = 0
+is dropped) and the band's contribution COUNT incremented; final band level
+is 10·log10(energy / count · duration / 4e-10). There is no per-period
+normalization — louder periods weigh more, as in Praat. One deliberate
+approximation: Praat evaluates each period's spectrum at its exact-length
+DFT grid (bins at local harmonics); here the same smooth single-period DTFT
+is sampled on the zero-padded pow2 grid instead (denser sampling of the
+same envelope, count-normalized per band), which keeps the analysis a
+shared-basis GEMM per FFT-size group. Slope = difference of dB band
+energies (low vs high band); tilt = robust straight-line fit of dB vs
+frequency.
 """
 
 from __future__ import annotations
@@ -40,9 +48,9 @@ def _ltas_group_device(
     mask = jnp.arange(l_max)[None, :] < lens[:, None]
     fr = fr * mask
     spec = rfft_power(fr, n_fft)
-    e = jnp.sum(spec, axis=1, keepdims=True)
-    e = jnp.where(e > 0, e, 1.0)
-    binned = jnp.matmul(spec / e, bin_mat, preferred_element_type=jnp.float32)
+    # raw energy accumulation (Praat has no per-period normalization);
+    # bin_mat carries the 2·df·dt² energy scale and the in-band selection
+    binned = jnp.matmul(spec, bin_mat, preferred_element_type=jnp.float32)
     return jax.ops.segment_sum(binned, file_ids, num_segments=n_files)
 
 
@@ -51,7 +59,7 @@ class Ltas(NamedTuple):
     power_db: np.ndarray
 
     def band_energy_db(self, f1: float, f2: float) -> float:
-        mask = (self.freqs >= f1) & (self.freqs < f2)
+        mask = (self.freqs >= f1) & (self.freqs < f2) & np.isfinite(self.power_db)
         if not mask.any():
             return float("nan")
         p = np.power(10.0, self.power_db[mask] / 10.0)
@@ -122,19 +130,24 @@ def ltas_pitch_corrected_batch(
     xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in xs]
     for fi, (x, pulses) in enumerate(zip(xs, pulses_list)):
         pulses = np.asarray(pulses, dtype=np.float64).reshape(-1)
-        if len(pulses) < 2:
+        if len(pulses) < 3:
             continue
-        periods = np.diff(pulses)
-        ok = (periods >= shortest_period) & (periods <= longest_period)
-        prev = np.concatenate([[np.nan], periods[:-1]])
+        # interior pulses: windows [t_i − left/2, t_i + right/2] accepted
+        # when BOTH neighbor intervals are in range and their mutual factor
+        # is small (Praat PointProcess_Sound_to_Ltas)
+        t_mid = pulses[1:-1]
+        left = pulses[1:-1] - pulses[:-2]
+        right = pulses[2:] - pulses[1:-1]
         with np.errstate(invalid="ignore", divide="ignore"):
-            ratio = np.maximum(periods / prev, prev / periods)
-        bad_ratio = np.zeros(len(periods), bool)
-        bad_ratio[1:] = (prev[1:] > 0) & (ratio[1:] > max_period_factor)
-        ok &= ~bad_ratio
-        a = np.round(pulses[:-1] * sr).astype(int)
-        b = np.round(pulses[1:] * sr).astype(int)
-        ok &= (b > a + 2) & (b <= len(x))
+            factor = np.maximum(left / right, right / left)
+        ok = (
+            (left >= shortest_period) & (left <= longest_period)
+            & (right >= shortest_period) & (right <= longest_period)
+            & (factor <= max_period_factor)
+        )
+        a = np.round((t_mid - 0.5 * left) * sr).astype(int)
+        b = np.round((t_mid + 0.5 * right) * sr).astype(int)
+        ok &= (a >= 0) & (b > a + 2) & (b <= len(x))
         if not ok.any():
             continue
         file_ids.append(np.full(int(ok.sum()), fi))
@@ -142,7 +155,7 @@ def ltas_pitch_corrected_batch(
         seg_len.append((b - a)[ok])
 
     accum = np.zeros((len(xs), n_bins))
-    counts = np.zeros(len(xs), int)
+    counts = np.zeros((len(xs), n_bins))  # per-band contributing-bin counts
     device_parts = []  # per-group device accumulators; summed + synced ONCE
     if file_ids:
         file_ids = np.concatenate(file_ids)
@@ -151,18 +164,24 @@ def ltas_pitch_corrected_batch(
         n_ffts = np.power(
             2, np.ceil(np.log2(np.maximum(seg_len * 4, 64))).astype(int)
         )
-        np.add.at(counts, file_ids, 1)
         for n_fft in np.unique(n_ffts):
             sel = n_ffts == n_fft
             fids, aa, ll = file_ids[sel], seg_a[sel], seg_len[sel]
             f_bins = np.arange(int(n_fft) // 2 + 1) * sr / n_fft
-            # spectrum bins above the LTAS maximum frequency are DISCARDED
-            # (Praat ignores them) — clipping them onto the top band used
-            # to fold all 5-8 kHz energy into the 4950 Hz bin and bias the
+            # Praat's band index is ceiling(f / bandwidth): f = 0 is
+            # DROPPED (iband 0) and bins above the LTAS maximum frequency
+            # are discarded — clipping them onto the top band used to fold
+            # all 5-8 kHz energy into the 4950 Hz bin and bias the
             # Spectral_Tilt fit, whose mask includes that bin center
-            bin_raw = (f_bins / bandwidth).astype(int)
-            in_range = bin_raw < n_bins
+            bin_raw = np.ceil(f_bins / bandwidth).astype(int) - 1  # 0-based
+            in_range = (bin_raw >= 0) & (bin_raw < n_bins)
             bin_idx = np.clip(bin_raw, 0, n_bins - 1)
+            # energy per spectrum bin = |X·dt|²·2·df (Praat Spectrum
+            # convention); df = sr/n_fft, dt = 1/sr → scale 2/(n_fft·sr)
+            scale = 2.0 / (int(n_fft) * sr)
+            colsum = np.zeros(n_bins)
+            np.add.at(colsum, bin_idx[in_range], 1.0)
+            np.add.at(counts, fids, colsum[None, :])
             if buf is not None:
                 from .bucketing import pad_frames
 
@@ -174,7 +193,7 @@ def ltas_pitch_corrected_batch(
                 lens_p = lens_p.copy()
                 lens_p[n_real:] = 0  # padded rows contribute zero spectra
                 bin_mat = np.zeros((len(f_bins), n_bins), np.float32)
-                bin_mat[np.arange(len(f_bins))[in_range], bin_idx[in_range]] = 1.0
+                bin_mat[np.arange(len(f_bins))[in_range], bin_idx[in_range]] = scale
                 # Dispatch is async: every group's program is enqueued
                 # without waiting; the single np.asarray below pays ONE
                 # tunnel round trip for the whole LTAS stage instead of one
@@ -195,10 +214,7 @@ def ltas_pitch_corrected_batch(
                 m = np.take(xs[fi], np.minimum(idx, len(xs[fi]) - 1))
                 mat[rows] = m
             mat *= gat < ll[:, None]
-            spec = np.abs(np.fft.rfft(mat, int(n_fft), axis=1)) ** 2
-            e = spec.sum(axis=1, keepdims=True)
-            e = np.where(e > 0, e, 1.0)
-            spec /= e
+            spec = np.abs(np.fft.rfft(mat, int(n_fft), axis=1)) ** 2 * scale
             spec *= in_range[None, :]
             flat_idx = (fids[:, None] * n_bins + bin_idx[None, :]).ravel()
             np.add.at(accum.ravel(), flat_idx, spec.ravel())
@@ -212,16 +228,22 @@ def ltas_pitch_corrected_batch(
         for p in device_parts[1:]:
             total = total + p
 
+    durations = np.asarray([len(x) / sr for x in xs])
+
     def _finalize(total_host):
         acc = accum
         if total_host is not None:
             acc = acc + np.asarray(total_host, dtype=np.float64)
         out = []
         for fi in range(n_files_out):
-            if counts[fi] == 0:
-                out.append(Ltas(freqs_out, np.full(n_bins, np.nan)))
-                continue
-            power_db = 10.0 * np.log10(np.maximum(acc[fi] / counts[fi], 1e-30))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # Praat: 10·log10(energy / count · duration / 4e-10);
+                # bands no period touched are undefined (NaN)
+                level = acc[fi] / counts[fi] * durations[fi] / 4.0e-10
+            power_db = np.where(
+                counts[fi] > 0, 10.0 * np.log10(np.maximum(level, 1e-300)),
+                np.nan,
+            )
             out.append(Ltas(freqs_out, power_db))
         return out
 

@@ -156,3 +156,30 @@ def test_silence_intervals_tile_full_duration():
     ic = intensity_contour(x, SR, minimum_pitch=50, time_step=0.016)
     iv = silence_intervals(ic, -25.0, 0.3, 0.1, total_duration=2.0)
     assert iv[0][0] == 0.0 and iv[-1][1] == pytest.approx(2.0)
+
+
+def test_cpps_batch_matches_host_oracle():
+    """Device cpps_segments_batch == per-segment host cepstrogram+cpps
+    (same preprocessed 10 kHz waveform, same smoothing)."""
+    from robust_speech_analysis_framework_tpu.ops.cepstrum import (
+        cepstrum_preprocess,
+        cpps_segments_batch,
+    )
+
+    t = np.arange(2 * SR) / SR
+    v = sum(np.sin(2 * np.pi * k * 140 * t) / k for k in range(1, 15))
+    v = (v / np.abs(v).max()).astype(np.float64)
+    x10k, sr10k = cepstrum_preprocess(v, SR)
+    segs = [(0.10, 0.60), (0.80, 1.45)]
+
+    got = cpps_segments_batch([(x10k, segs)], sr10k)[0]
+
+    seg_means = []
+    for a, b in segs:
+        seg = x10k[int(a * sr10k) : int(b * sr10k)]
+        cg = power_cepstrogram(seg, sr10k, preemphasis_from=0.0)
+        m, _ = cpps(cg)
+        if np.isfinite(m) and m > 4.0:
+            seg_means.append(m)
+    want = float(np.mean(seg_means)) if seg_means else float("nan")
+    assert got == pytest.approx(want, abs=0.25)
