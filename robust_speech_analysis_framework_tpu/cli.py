@@ -74,6 +74,14 @@ def _cmd_extract(args) -> int:
 
         with open(args.opensmile_conf) as fh:
             opensmile_config = opensmile_config_from_conf(fh.read())
+    if args.opensmile_reference_compat:
+        from dataclasses import replace
+
+        from .features.opensmile import OpenSmileConfig
+
+        opensmile_config = replace(
+            opensmile_config or OpenSmileConfig(), reference_compat=True
+        )
     paths = extract_all_features(
         args.corpus,
         args.out,
@@ -198,6 +206,14 @@ def main(argv=None) -> int:
         "--opensmile-conf", default=None,
         help="openSMILE .conf file (Androids.conf subset) configuring the "
              "911-feature extractor declaratively",
+    )
+    p.add_argument(
+        "--opensmile-reference-compat", action="store_true",
+        help="emit the reference's observed 911-column openSMILE schema "
+             "(first emitted feature dropped, matching the reference's "
+             "instname-column assumption, src/opensmile_extractor.py:83) "
+             "so downstream dataset shapes are 111x911 / 109x1822 / "
+             "109x2733; default is the full native 912-column schema",
     )
     p.add_argument(
         "--wav2vec2-precision", choices=("strict", "fast", "fastest"), default="strict",

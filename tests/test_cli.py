@@ -129,3 +129,22 @@ def test_w2v2_precision_kwargs_mapping():
     assert kw["compute_dtype"] == "bfloat16"
     assert kw["sequence_transfer_dtype"] is np.float16
     assert kw["upload_dtype"] is np.int16
+
+
+@pytest.mark.slow
+def test_cli_opensmile_reference_compat_911_columns(tmp_path):
+    """--opensmile-reference-compat emits the reference's observed 911-column
+    schema (first emitted feature dropped, src/opensmile_extractor.py:83), so
+    downstream SVM dataset shapes reproduce 111x911 / 109x1822 (VERDICT r1
+    item 7)."""
+    import pandas as pd
+
+    corpus = _make_corpus(tmp_path)
+    rc = main(
+        ["extract", "--corpus", str(corpus), "--out", str(tmp_path / "out"),
+         "--features", "opensmile", "--opensmile-reference-compat", "--quiet"]
+    )
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "out" / "features_opensmile_reading_task.csv")
+    feat_cols = [c for c in df.columns if "_sma" in c]
+    assert len(feat_cols) == 911

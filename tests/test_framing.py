@@ -36,6 +36,7 @@ def test_deferred_collect_overlaps_and_finalizes():
     assert r1 == 6.0 and r2 == "done"
 
 
+@pytest.mark.slow
 def test_shifted_gather_matches_dynamic_slice(rng):
     """The TPU row-gather + shift-select path is bit-identical to the
     dynamic-slice vmap (pure XLA, so verifiable on any backend)."""

@@ -57,6 +57,7 @@ def test_feature_plausibility(feats):
     assert 100 < feats["mean_F1_Loc"] < 1200
 
 
+@pytest.mark.slow
 def test_formant_pulse_train_oracle():
     """Glottal pulse train through two known resonators (F1 600, F2 1700 Hz)
     with a gated silent tail: every feature must be finite and the formant /
@@ -94,6 +95,7 @@ def test_formant_pulse_train_oracle():
     assert row["Phonation_Ratio"] > 0.8
 
 
+@pytest.mark.slow
 def test_batch_extraction_at_48k_sample_rate():
     """The shared corpus-buffer pad must scale with sr: the range-adapted
     intensity window (6.4/50·sr) and harmonicity extension ((4.5+1)/60·sr)
@@ -151,6 +153,7 @@ def test_speaker_pitch_range():
     assert speaker_pitch_range(np.zeros(SR), SR) == (75, 500)
 
 
+@pytest.mark.slow
 def test_dataframe_front_door(tmp_path, speech):
     from robust_speech_analysis_framework_tpu.audio.io import write_wav
 
@@ -173,6 +176,7 @@ def test_waveform_injection(speech):
     assert np.isfinite(out.iloc[0]["mean_F0"])
 
 
+@pytest.mark.slow
 def test_batch_extraction_matches_serial(speech):
     """Corpus-batched MSHDS (shared pitch passes) == per-file extraction."""
     from robust_speech_analysis_framework_tpu.features.mshds import (

@@ -102,6 +102,7 @@ def test_spectral_llds_silent_frames_finite():
     assert by["fftMag_spectralKurtosis"] == 0.0
 
 
+@pytest.mark.slow
 def test_extract_single_silent_tail_finite():
     """A file whose tail is exact digital silence (gated recording) must
     still produce a fully-finite 912-feature row."""
@@ -116,6 +117,7 @@ def test_extract_single_silent_tail_finite():
     assert np.isfinite(vec).all()
 
 
+@pytest.mark.slow
 def test_extract_llds_marks_preemphasized_voiced_frames():
     """Voicing through the REAL chain (preemphasis + Hamming + FFT): the
     window taper depresses raw lag-domain autocorrelation so genuinely
@@ -163,6 +165,7 @@ def test_spline_interp_matrix_matches_scipy_natural_spline():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shs_pitch_on_harmonic():
     from robust_speech_analysis_framework_tpu.audio.frontend import (
         FrontendConfig, framed_stft, preemphasize, hamming_window)
@@ -230,6 +233,7 @@ def test_column_emission_order_matches_conf_reader():
     assert got_i == pytest.approx(inten.mean(), rel=0.02)
 
 
+@pytest.mark.slow
 def test_extract_batch_drops_subframe_clips_and_duplicate_basenames(tmp_path):
     """A clip shorter than one 25 ms analysis frame must be DROPPED (serial
     semantics) — the masked functionals would otherwise emit a row of ±inf
@@ -254,6 +258,7 @@ def test_extract_batch_drops_subframe_clips_and_duplicate_basenames(tmp_path):
     assert len(out) == 1  # second duplicate dropped loudly, not merged
 
 
+@pytest.mark.slow
 def test_extract_single_finite():
     ex = OpenSmileExtractor()
     vec = ex.extract_single(_voiced_pulsed())
@@ -276,6 +281,7 @@ def test_extract_dataframe_and_failure_semantics(tmp_path):
     assert named["F0final_sma_amean"] > 50
 
 
+@pytest.mark.slow
 def test_batched_extraction_matches_serial():
     import pandas as pd
 
@@ -389,6 +395,7 @@ def test_jitter_shimmer_values_match_constructed_ground_truth():
     assert got_s == pytest.approx(true_s, rel=0.25)
 
 
+@pytest.mark.slow
 def test_device_period_marching_matches_numpy_oracle():
     """ops.jitter.mark_periods_batch (vmapped while_loop) vs the NumPy
     marching oracle: same period boundaries on clean voiced audio."""
@@ -477,6 +484,7 @@ def test_device_periods_to_llds_matches_host_prefix_sums():
         assert np.mean(np.nan_to_num(rel) > 1e-2) < 0.02, np.mean(rel > 1e-2)
 
 
+@pytest.mark.slow
 def test_pipelined_buckets_match_serial_across_many_buckets():
     """extract_batch keeps up to 3 bucket chains in flight; with > 4 length
     buckets the window wraps. Every file must still come back, matching the
@@ -497,6 +505,7 @@ def test_pipelined_buckets_match_serial_across_many_buckets():
     assert np.nanmean(rel) < 5e-2
 
 
+@pytest.mark.slow
 def test_device_period_marching_matmul_dft_path(monkeypatch):
     """The TPU-backend lag search (GEMM-native DFT correlation, forced here
     via RSAF_FORCE_MATMUL_DFT) must march the same boundaries as the fft
@@ -534,6 +543,7 @@ def test_device_period_marching_matmul_dft_path(monkeypatch):
         jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_device_march_split_buffer_fallback(monkeypatch):
     """Waveforms longer than _FUSED_MAX samples can't pack period starts
     into the fused f32 row write exactly; the march must fall back to the
@@ -561,6 +571,7 @@ def test_device_march_split_buffer_fallback(monkeypatch):
     np.testing.assert_allclose(split[0].correlations, fused[0].correlations)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("force_matmul", [False, True])
 def test_device_march_zero_energy_windows(monkeypatch, force_matmul):
     """Pulses followed by exact digital silence, with the F0 contour labeled

@@ -130,6 +130,7 @@ def test_recurrence_grad_through_pallas_forward():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_backward_kernel_interpret_mode():
     """Forward-residual + reverse-sweep kernels vs jax.vjp of the scan
     (interpret mode; grad parity <=1e-5, VERDICT r1 item 8)."""

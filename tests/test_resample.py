@@ -43,6 +43,7 @@ def test_batched_resample():
         )
 
 
+@pytest.mark.slow
 def test_sine_preserved_through_resample():
     sr_in, sr_out = 44100, 16000
     t = np.arange(44100) / sr_in
@@ -82,6 +83,7 @@ def test_sinc_upsample():
     assert np.max(np.abs(y[sl] - np.sin(2 * np.pi * 440 * t_out)[sl])) < 1e-2
 
 
+@pytest.mark.slow
 def test_sinc_downsample_antialiasing():
     """A tone above the target Nyquist must be strongly attenuated.
 
