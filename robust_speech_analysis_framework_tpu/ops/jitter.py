@@ -160,6 +160,20 @@ def _march_periods_device(
 
     def one_file(x, f0, n, nf):
         x32 = x.reshape(-1, 32)
+        # Next-voiced-frame table for the unvoiced skip collapse: the host
+        # oracle crawls pauses ``skip`` samples per iteration, which costs a
+        # sequential substep per 5 ms of silence — over a third of all march
+        # substeps on real speech. NV[f] = first clamped-voiced frame ≥ f
+        # (host clamps frame lookups to nf-1, so padding frames inherit the
+        # last true frame's voicing); one jump lands exactly where the
+        # host's repeated skipping would, emitting nothing either way.
+        T = f0.shape[0]
+        fidx = jnp.arange(T, dtype=jnp.int32)
+        vmask = f0[jnp.minimum(fidx, nf - 1)] > 0
+        nv = jax.lax.cummin(
+            jnp.where(vmask, fidx, jnp.int32(T)), reverse=True
+        )
+
         def active(pos, k, broken):
             return (pos < n - 16) & (~broken) & (k < p_max)
 
@@ -257,8 +271,15 @@ def _march_periods_device(
                     buf[1].at[k].set(jnp.where(emit, rowf, buf[1][k])),
                 )
             k = k + emit.astype(jnp.int32)
-            skip = jnp.maximum(hop_samples // 2, 1)
-            step = jnp.where(emit, best_len, skip)
+            skip = max(hop_samples // 2, 1)
+            # unvoiced: jump straight to the first skip-grid position whose
+            # frame is voiced (or past the n-16 exit when none remains) —
+            # identical pos sequence at every voiced entry, zero emissions
+            # in between, same loop exit condition (see nv above)
+            g = nv[fi]
+            target = jnp.where(g >= nf, n - 16, g * hop_samples)
+            m = jnp.maximum((target - pos + skip - 1) // skip, 1)
+            step = jnp.where(emit, best_len, m * skip)
             pos = pos + jnp.where(live, step, 0)
             broken = jnp.where(live, voiced & (~fits), broken)
             return pos, k, broken, buf
