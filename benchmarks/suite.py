@@ -50,6 +50,11 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
         extract_mshds_batch,
     )
 
+    # NB: at 20 s the f0=150/210 members carry a ~25 ms voiced sliver that
+    # NaNs their CPP column by design (reference src/mshds_extractor.py:
+    # 269-301 wall; locked by tests/test_mshds.py::
+    # test_cpps_short_voiced_segment_nans_whole_file). mean_F0 stays finite,
+    # so the nan_rows guard below is unaffected.
     waves = {f"f{i}.wav": _speech(seconds, 120 + 15 * i, i) for i in range(n_files)}
     warm = {f"w{i}.wav": _speech(seconds, 125 + 15 * i, 70 + i) for i in range(n_files)}
     extract_mshds_batch(warm, SR, n_workers=8, verbose=False)  # compile

@@ -198,3 +198,38 @@ def test_batch_extraction_matches_serial(speech):
                 assert np.isnan(got), (name, k)
             else:
                 assert got == pytest.approx(v, rel=1e-4, abs=1e-6), (name, k)
+
+
+@pytest.mark.slow
+def test_cpps_short_voiced_segment_nans_whole_file():
+    """A voiced segment shorter than one cepstrogram window NaNs the file's
+    CPP — and nothing else.
+
+    Reference contract (src/mshds_extractor.py:269-301): every 'V' interval
+    goes through 'To PowerCepstrogram'; Praat raises on a segment shorter
+    than the 2/pitch_floor analysis window, and that error lands OUTSIDE the
+    per-segment try, so the whole file's CPP becomes NaN while the other 24
+    features are unaffected. This synthetic file (the bench corpus's f0=150
+    member) carries a ~25 ms voiced sliver at t≈5.86 s that trips the wall.
+    """
+    # mirrors benchmarks.suite._speech(20.0, f0, seed)
+    def bench_speech(seconds, f0, seed):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(seconds * SR)) / SR
+        v = sum(
+            np.sin(2 * np.pi * k * f0 * (1 + 0.01 * np.sin(2 * np.pi * 3 * t)) * t) / k
+            for k in range(1, 12)
+        )
+        gate = np.where((t % 0.6) < 0.42, 1.0, 0.02)
+        x = 0.3 * gate * v / np.abs(v).max() + 0.002 * rng.normal(size=len(t))
+        return (np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0).astype(
+            np.float32
+        )
+
+    f = extract_mshds_single(bench_speech(20.0, 150, 2), SR)
+    assert np.isnan(f["Cepstral_Peak_Prominence"])
+    assert np.isfinite(f["mean_F0"])
+    assert np.isfinite(f["HNR_dB"])
+    # a sibling file with no sliver keeps a finite CPP
+    f_ok = extract_mshds_single(bench_speech(20.0, 120, 0), SR)
+    assert np.isfinite(f_ok["Cepstral_Peak_Prominence"])
