@@ -56,8 +56,12 @@ def corpus(tmp_path_factory):
             sess.mkdir(exist_ok=True)
             for c in range(2):
                 f0 = (190 if cond == 0 else 110) + 5 * c
+                # clip basenames are globally unique in the real corpus — the
+                # reference's aggregation merges on bare 'filename'
+                # (src/utils.py:39), which a repeated basename would corrupt
                 write_wav(
-                    str(sess / f"clip_{c:03d}.wav"), _speech(f0, 200 + i * 2 + c, 0.9), SR
+                    str(sess / f"{pid}_clip_{c:03d}.wav"),
+                    _speech(f0, 200 + i * 2 + c, 0.9), SR,
                 )
     (root / "fold-lists.csv").write_text("banner,,\nfold1,fold2,fold1.1\n,,\n")
     return str(root)
