@@ -56,9 +56,23 @@ def align_sequences_and_labels(
         .apply(lambda v: 1 if v == "Patient" else 0)
     )
     common = sorted(set(sequences_dict.keys()) & set(label_map.index))
+    if not common:
+        raise ValueError(
+            "no overlap between sequence keys and metadata "
+            "unique_participant_id values — sequences must be keyed by "
+            "participant id (e.g. '01_CF30_1'), not by clip filename; see "
+            "aggregate_interview_sequences / build_sequence_sets"
+        )
     X = [np.asarray(sequences_dict[pid], dtype=np.float32) for pid in common]
     y = label_map.loc[common].to_numpy()
     return X, y, common
+
+
+# Process-global: Trainers hold only compiled programs (no data), so CV
+# runs sharing an architecture reuse each other's traces and executables —
+# a fresh cache per run would re-trace every fold program and reload its
+# executable from the persistent XLA cache (~seconds per program).
+_GLOBAL_TRAINERS: Dict[tuple, Trainer] = {}
 
 
 class _TrainerCache:
@@ -67,7 +81,7 @@ class _TrainerCache:
     def __init__(self, input_dim: int, num_classes: int = 2):
         self.input_dim = input_dim
         self.num_classes = num_classes
-        self._cache: Dict[tuple, Trainer] = {}
+        self._cache = _GLOBAL_TRAINERS
 
     def get(self, hp: Mapping[str, Any]) -> Trainer:
         # dropout_rate is NOT part of the key: it reaches the model as a
@@ -75,6 +89,8 @@ class _TrainerCache:
         # step serves every sampled rate — a continuous TPE search would
         # otherwise recompile every bucket shape per trial
         key = (
+            self.input_dim,
+            self.num_classes,
             int(hp.get("cnn_out_channels", 128)),
             int(hp.get("lstm_hidden_dim", 128)),
             str(hp.get("activation_fn", "silu")),
@@ -83,16 +99,37 @@ class _TrainerCache:
             model = CNNLSTM(
                 input_dim=self.input_dim,
                 num_classes=self.num_classes,
-                cnn_out_channels=key[0],
-                lstm_hidden_dim=key[1],
-                activation_fn=key[2],
+                cnn_out_channels=key[2],
+                lstm_hidden_dim=key[3],
+                activation_fn=key[4],
             )
             self._cache[key] = Trainer(model)
         return self._cache[key]
 
 
-def _subset(seq: Sequence, idx: np.ndarray) -> list:
+def _subset(seq: Sequence, idx: np.ndarray):
+    if hasattr(seq, "subset"):  # SeqView: keep the device-resident corpus
+        return seq.subset(idx)
     return [seq[i] for i in idx]
+
+
+# device-resident corpus budget: one padded (N, T, D) f32 buffer per CV run
+_CORPUS_BUDGET_BYTES = 4 << 30
+
+
+def _as_device_corpus(X: list):
+    """Wrap a sequence list as a resident-corpus view when it fits HBM;
+    folds and trials then gather rows on device instead of re-uploading
+    their subsets (the dominant per-fold cost on a tunneled chip)."""
+    from ..train.loops import DeviceCorpus
+
+    try:
+        if DeviceCorpus.nbytes_estimate(X) > _CORPUS_BUDGET_BYTES:
+            return X
+        corpus = DeviceCorpus(X)
+    except Exception:
+        return X  # allocation/upload failure → host streaming path
+    return corpus.view(np.arange(len(X)))
 
 
 def _stability_vector(state) -> np.ndarray:
@@ -119,6 +156,7 @@ def run_dl_standard_kfold_cv(
     the contract of reference run_pytorch_standard_kfold_cv (:357-441).
     """
     X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
+    X = _as_device_corpus(X)
     cache = _TrainerCache(input_dim=X[0].shape[1])
     cv = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
 
@@ -230,6 +268,7 @@ def run_dl_nested_cv(
     """
     space = dict(search_space or DEFAULT_SEARCH_SPACE)
     X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
+    X = _as_device_corpus(X)
     cache = _TrainerCache(input_dim=X[0].shape[1])
     outer = StratifiedKFold(n_splits=n_splits_outer, shuffle=True, random_state=seed)
 

@@ -65,6 +65,18 @@ class TrainConfig:
     # compile service on the tunneled chip), so threads overlap what would
     # otherwise be one serial multi-second compile per shape
     parallel_warmup: bool = True
+    # Device-resident fold: the WHOLE training run (epoch while_loop, batch
+    # scans, val pass, plateau decay, early stop, best-weight tracking) as
+    # ONE jitted XLA program — zero host round trips until the fold ends.
+    # "auto" engages it when the padded train+val arrays fit the budget
+    # below; "on"/"off" force it. Padding is to the fold-global bucket (one
+    # compiled shape), vs the streaming path's per-batch buckets — identical
+    # numerics when all sequences share a bucket, slightly different
+    # train-mode BatchNorm statistics otherwise (the torch reference's
+    # pad-to-batch-max has the same composition dependence,
+    # src/dl_cv_strategies.py:64-84).
+    device_fold: str = "auto"
+    device_fold_budget_bytes: int = 4 << 30
 
 
 class ReduceLROnPlateau:
@@ -106,11 +118,19 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl, static_argnums=(3,))
         self._eval_step = jax.jit(self._eval_step_impl, static_argnums=(3,))
         self.warmed_shapes: set = set()  # step shapes compiled on THIS trainer
+        self._fold_cache: Dict[tuple, Any] = {}  # device-fold programs
 
     def init_state(self, rng: jax.Array, example: jnp.ndarray, lr: float) -> TrainState:
-        variables = self.model.init(
-            {"params": rng, "dropout": rng}, example, train=False
-        )
+        # jitted: flax's eager init would otherwise run the whole forward
+        # (LSTM scan included) one dispatch at a time — seconds per fold on
+        # a tunneled chip, and folds/trials re-init constantly
+        if not hasattr(self, "_init_fn"):
+            self._init_fn = jax.jit(
+                lambda r, ex: self.model.init(
+                    {"params": r, "dropout": r}, ex, train=False
+                )
+            )
+        variables = self._init_fn(rng, example)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         opt_state = self.tx.init(params)
@@ -195,6 +215,30 @@ class Trainer:
         def drain(item):
             idx, out = item
             logits_out[idx] = np.asarray(jax.device_get(out))
+
+        if isinstance(sequences, SeqView):
+            # zero-upload: gather rows from the resident corpus buffer
+            corpus = sequences.corpus
+            if not hasattr(self, "_eval_gather"):
+                self._eval_gather = jax.jit(
+                    lambda st, x, ln, idx, masked: self._eval_step_impl(
+                        st, x[idx], ln[idx], masked
+                    ),
+                    static_argnums=(4,),
+                )
+            n = len(sequences)
+            for start in range(0, n, cfg.batch_size):
+                loc = np.arange(start, min(start + cfg.batch_size, n))
+                pending.append((loc, self._eval_gather(
+                    state, corpus.x, corpus.lengths,
+                    jnp.asarray(sequences.idx[loc].astype(np.int32)),
+                    cfg.use_length_masking,
+                )))
+                if len(pending) > max_inflight:
+                    drain(pending.pop(0))
+            for item in pending:
+                drain(item)
+            return logits_out
 
         for idx in length_sorted_batches(sequences, cfg.batch_size):
             batch, lengths = pad_batch(
@@ -301,6 +345,287 @@ def _mean_val_loss(trainer, state, sequences, labels, cfg) -> float:
     return float(np.mean(jax.device_get(losses)))
 
 
+class DeviceCorpus:
+    """A sequence corpus resident on device as one padded (N, T, D) buffer.
+
+    Uploaded ONCE per CV run; folds/trials reference rows through
+    :class:`SeqView` index views, so no per-fold host→device transfer
+    happens (on a tunneled chip the per-fold upload otherwise dominates the
+    whole fold). Padding is to the corpus max length aligned up to
+    ``align`` frames — a single compiled shape for every fold and trial.
+    """
+
+    def __init__(self, sequences: Sequence[np.ndarray], align: int = 128):
+        self.seqs = [np.asarray(s, dtype=np.float32) for s in sequences]
+        lens = [len(s) for s in self.seqs]
+        t_pad = max(align, -(-max(lens) // align) * align)
+        d = self.seqs[0].shape[1]
+        buf = np.zeros((len(self.seqs), t_pad, d), np.float32)
+        for i, s in enumerate(self.seqs):
+            buf[i, : len(s)] = s
+        self.x = jnp.asarray(buf)
+        self.lengths = jnp.asarray(np.asarray(lens, np.int32))
+        self.host_lengths = np.asarray(lens, np.int64)
+
+    def view(self, idx: np.ndarray) -> "SeqView":
+        return SeqView(self, np.asarray(idx, np.int64))
+
+    @staticmethod
+    def nbytes_estimate(sequences: Sequence[np.ndarray], align: int = 128) -> int:
+        t_pad = max(align, -(-max(len(s) for s in sequences) // align) * align)
+        return 4 * len(sequences) * t_pad * int(np.asarray(sequences[0]).shape[1])
+
+
+class SeqView:
+    """List-of-arrays façade over :class:`DeviceCorpus` rows.
+
+    Behaves like ``[corpus.seqs[i] for i in idx]`` for host consumers
+    (len/iteration/indexing), while device consumers (the device fold,
+    ``eval_logits``) read the resident buffer through ``.corpus``/``.idx``
+    without any transfer.
+    """
+
+    def __init__(self, corpus: DeviceCorpus, idx: np.ndarray):
+        self.corpus = corpus
+        self.idx = idx
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.corpus.seqs[self.idx[i]]
+
+    def subset(self, idx: np.ndarray) -> "SeqView":
+        return SeqView(self.corpus, self.idx[np.asarray(idx, np.int64)])
+
+
+def _epoch_batch_plan(
+    n: int, epochs: int, batch_size: int, seed: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch index plan mirroring ``batch_iterator``'s shuffles exactly:
+    per epoch, a ``RandomState(seed + epoch)`` permutation chunked into
+    full batches (E, S_full, B) plus a trailing remainder (E, r)."""
+    s_full, r = divmod(n, batch_size)
+    full = np.zeros((epochs, s_full, batch_size), np.int32)
+    rem = np.zeros((epochs, r), np.int32)
+    for e in range(epochs):
+        order = np.arange(n)
+        np.random.RandomState(seed + e).shuffle(order)
+        if s_full:
+            full[e] = order[: s_full * batch_size].reshape(s_full, batch_size)
+        if r:
+            rem[e] = order[s_full * batch_size:]
+    return full, rem
+
+
+def _pad_all(sequences, min_bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a whole split to ONE global bucketed length (single compiled
+    shape for every batch gathered from it)."""
+    from ..data.batching import pad_batch
+
+    return pad_batch(list(sequences), min_bucket=min_bucket)
+
+
+def _build_device_fold(trainer: Trainer, statics: tuple):
+    """One XLA program running a complete training fold on device.
+
+    Replaces the host epoch loop of :func:`train_model` (reference
+    src/dl_cv_strategies.py:87-165) with a ``lax.while_loop`` over epochs —
+    each epoch a ``lax.scan`` over gathered minibatches, then a scanned
+    validation pass, ReduceLROnPlateau decay, best-weight tracking and the
+    early-stop condition, all as traced arithmetic. The host dispatches
+    once per fold and fetches once, instead of once per batch: on a
+    tunneled chip (~100 ms/round trip) this is the difference between the
+    fold running at device speed and at host-latency speed.
+
+    RNG splits mirror the streaming loop's order (one split per batch, full
+    batches then remainder), so on uniform-bucket data the two paths are
+    numerically identical.
+    """
+    (masked, has_rate, epochs, patience, batch_size, use_plateau,
+     restore_best, plateau_factor, plateau_patience, s_full, r,
+     sv_full, rv) = statics
+    sce = optax.softmax_cross_entropy_with_integer_labels
+
+    def fold(state, rng, rate, x_tr, len_tr, y_tr, full, rem,
+             x_va, len_va, y_va, va_full, va_rem):
+        rate_arg = rate if has_rate else None
+
+        def tstep(carry, idx):
+            st, key = carry
+            key, sk = jax.random.split(key)
+            st, loss = trainer._train_step_impl(
+                st, (x_tr[idx], len_tr[idx], y_tr[idx]), sk, masked, rate_arg
+            )
+            return (st, key), loss
+
+        def val_loss(st):
+            # mean of per-batch means over sequential batches — the
+            # reference's val_loss / len(val_loader) (:141), as in
+            # _mean_val_loss
+            def one(idx):
+                logits = trainer._eval_step_impl(st, x_va[idx], len_va[idx], masked)
+                return sce(logits, y_va[idx]).mean()
+
+            losses = []
+            if sv_full:
+                _, ls = jax.lax.scan(lambda c, idx: (c, one(idx)), 0.0, va_full)
+                losses.append(ls)
+            if rv:
+                losses.append(one(va_rem)[None])
+            return jnp.concatenate(losses).mean()
+
+        def cond(c):
+            return (c["epoch"] < epochs) & (c["no_improve"] < patience)
+
+        def body(c):
+            e = c["epoch"]
+            st, key = c["state"], c["rng"]
+            losses = []
+            if s_full:
+                (st, key), ls = jax.lax.scan(tstep, (st, key), full[e])
+                losses.append(ls)
+            if r:
+                (st, key), lr_loss = tstep((st, key), rem[e])
+                losses.append(lr_loss[None])
+            tl = jnp.concatenate(losses).mean()
+            vl = val_loss(st)
+            if use_plateau:
+                # torch ReduceLROnPlateau, mode='min', rel threshold 1e-4
+                improved = vl < c["sch_best"] * (1.0 - 1e-4)
+                sch_best = jnp.where(improved, vl, c["sch_best"])
+                sch_bad = jnp.where(improved, 0, c["sch_bad"] + 1)
+                decay = sch_bad > plateau_patience
+                st = st.replace(
+                    lr=jnp.where(decay, st.lr * plateau_factor, st.lr)
+                )
+                sch_bad = jnp.where(decay, 0, sch_bad)
+            else:
+                sch_best, sch_bad = c["sch_best"], c["sch_bad"]
+            better = vl < c["best_val"]
+            keep = lambda b, n_: jnp.where(better, n_, b)
+            return {
+                "epoch": e + 1,
+                "state": st,
+                "rng": key,
+                "best_val": jnp.where(better, vl, c["best_val"]),
+                "best_params": jax.tree.map(keep, c["best_params"], st.params),
+                "best_stats": jax.tree.map(keep, c["best_stats"], st.batch_stats),
+                "no_improve": jnp.where(better, 0, c["no_improve"] + 1),
+                "sch_best": sch_best,
+                "sch_bad": sch_bad,
+                "train_hist": c["train_hist"].at[e].set(tl),
+                "val_hist": c["val_hist"].at[e].set(vl),
+            }
+
+        init = {
+            "epoch": jnp.int32(0),
+            "state": state,
+            "rng": rng,
+            "best_val": jnp.float32(jnp.inf),
+            "best_params": state.params,
+            "best_stats": state.batch_stats,
+            "no_improve": jnp.int32(0),
+            "sch_best": jnp.float32(jnp.inf),
+            "sch_bad": jnp.int32(0),
+            "train_hist": jnp.full((epochs,), jnp.nan, jnp.float32),
+            "val_hist": jnp.full((epochs,), jnp.nan, jnp.float32),
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        final = out["state"]
+        if restore_best:
+            final = final.replace(
+                params=out["best_params"], batch_stats=out["best_stats"]
+            )
+        return final, out["train_hist"], out["val_hist"], out["epoch"]
+
+    return jax.jit(fold)
+
+
+def _shared_corpus_views(train_sequences, val_sequences) -> bool:
+    return (
+        isinstance(train_sequences, SeqView)
+        and isinstance(val_sequences, SeqView)
+        and train_sequences.corpus is val_sequences.corpus
+    )
+
+
+def _train_model_device(
+    trainer, train_sequences, train_labels, val_sequences, val_labels, cfg,
+    state, rng,
+) -> Tuple[TrainState, List[float], List[float]]:
+    """Dispatch one device-resident fold program (see _build_device_fold)."""
+    full_l, rem_l = _epoch_batch_plan(
+        len(train_sequences), cfg.epochs, cfg.batch_size, cfg.seed
+    )
+    s_full, r = full_l.shape[1], rem_l.shape[1]
+    sv_full, rv = divmod(len(val_sequences), cfg.batch_size)
+    if _shared_corpus_views(train_sequences, val_sequences):
+        # zero-upload path: gather fold rows from the resident buffer
+        corpus = train_sequences.corpus
+        tr_idx, va_idx = train_sequences.idx, val_sequences.idx
+        x_tr = x_va = corpus.x
+        len_tr = len_va = corpus.lengths
+        full, rem = tr_idx[full_l], tr_idx[rem_l]
+        # labels scattered onto global corpus rows (every gathered id is in
+        # exactly one of the two views)
+        y_global = np.zeros(len(corpus.seqs), np.int32)
+        y_global[tr_idx] = np.asarray(train_labels, np.int32)
+        y_global[va_idx] = np.asarray(val_labels, np.int32)
+        y_tr = y_va = jnp.asarray(y_global)
+        va_full = va_idx[: sv_full * cfg.batch_size].reshape(sv_full, cfg.batch_size)
+        va_rem = va_idx[sv_full * cfg.batch_size:]
+    else:
+        x_tr, len_tr = _pad_all(train_sequences, cfg.min_bucket)
+        x_va, len_va = _pad_all(val_sequences, cfg.min_bucket)
+        x_tr, len_tr = jnp.asarray(x_tr), jnp.asarray(len_tr)
+        x_va, len_va = jnp.asarray(x_va), jnp.asarray(len_va)
+        y_tr = jnp.asarray(np.asarray(train_labels, np.int32))
+        y_va = jnp.asarray(np.asarray(val_labels, np.int32))
+        full, rem = full_l, rem_l
+        m = len(val_sequences)
+        va_full = np.arange(sv_full * cfg.batch_size, dtype=np.int64
+                            ).reshape(sv_full, cfg.batch_size)
+        va_rem = np.arange(sv_full * cfg.batch_size, m, dtype=np.int64)
+    statics = (
+        cfg.use_length_masking, cfg.dropout_rate is not None, cfg.epochs,
+        cfg.patience, cfg.batch_size, cfg.use_plateau, cfg.restore_best,
+        float(cfg.plateau_factor), int(cfg.plateau_patience), s_full, r,
+        sv_full, rv,
+    )
+    fn = trainer._fold_cache.get(statics)
+    if fn is None:
+        fn = trainer._fold_cache[statics] = _build_device_fold(trainer, statics)
+    rate = jnp.float32(cfg.dropout_rate if cfg.dropout_rate is not None else 0.0)
+    final, th, vh, n_epochs = fn(
+        state, rng, rate, x_tr, len_tr, y_tr,
+        jnp.asarray(np.asarray(full, np.int32)),
+        jnp.asarray(np.asarray(rem, np.int32)),
+        x_va, len_va, y_va,
+        jnp.asarray(np.asarray(va_full, np.int32)),
+        jnp.asarray(np.asarray(va_rem, np.int32)),
+    )
+    n_epochs = int(n_epochs)
+    return (
+        final,
+        [float(v) for v in np.asarray(th)[:n_epochs]],
+        [float(v) for v in np.asarray(vh)[:n_epochs]],
+    )
+
+
+def _device_fold_fits(train_sequences, val_sequences, cfg) -> bool:
+    """auto-mode gate: padded train+val arrays must fit the budget."""
+    from ..data.batching import bucket_length
+
+    if not len(train_sequences) or not len(val_sequences) or cfg.epochs <= 0:
+        return False
+    d = int(np.asarray(train_sequences[0]).shape[1])
+    t_tr = bucket_length(max(len(s) for s in train_sequences), cfg.min_bucket)
+    t_va = bucket_length(max(len(s) for s in val_sequences), cfg.min_bucket)
+    n_bytes = 4 * d * (len(train_sequences) * t_tr + len(val_sequences) * t_va)
+    return n_bytes <= cfg.device_fold_budget_bytes
+
+
 def train_model(
     trainer: Trainer,
     train_sequences: Sequence[np.ndarray],
@@ -329,6 +654,16 @@ def train_model(
     )
     rng, init_rng = jax.random.split(rng)
     state = trainer.init_state(init_rng, jnp.asarray(example), cfg.learning_rate)
+
+    if cfg.device_fold != "off" and (
+        cfg.device_fold == "on"
+        or _shared_corpus_views(train_sequences, val_sequences)
+        or _device_fold_fits(train_sequences, val_sequences, cfg)
+    ):
+        return _train_model_device(
+            trainer, train_sequences, train_labels, val_sequences, val_labels,
+            cfg, state, rng,
+        )
 
     if cfg.parallel_warmup and train_sequences and val_sequences:
         _warmup_step_shapes(

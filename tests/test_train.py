@@ -113,3 +113,80 @@ def test_parallel_warmup_identical_histories():
         hists.append((th, vh))
     np.testing.assert_allclose(hists[0][0], hists[1][0], rtol=1e-6)
     np.testing.assert_allclose(hists[0][1], hists[1][1], rtol=1e-6)
+
+
+def test_device_fold_matches_streaming_on_uniform_buckets():
+    """The device-resident fold (one while_loop program) reproduces the
+    streaming epoch loop when every sequence shares a padded bucket: same
+    RNG split order, same batch plan, same plateau/early-stop decisions."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    xs = [rng.normal(size=(40, 12)).astype(np.float32) for _ in range(19)]
+    ys = (rng.random(19) > 0.5).astype(int)
+    model = CNNLSTM(input_dim=12, cnn_out_channels=4, lstm_hidden_dim=4)
+    trainer = Trainer(model)
+    cfg_s = TrainConfig(
+        learning_rate=1e-3, epochs=6, patience=3, batch_size=4, seed=1,
+        dropout_rate=0.3, min_bucket=64, device_fold="off",
+        parallel_warmup=False,
+    )
+    cfg_d = dataclasses.replace(cfg_s, device_fold="on")
+    s1, th1, vh1 = train_model(trainer, xs[:13], ys[:13], xs[13:], ys[13:], cfg_s)
+    s2, th2, vh2 = train_model(trainer, xs[:13], ys[:13], xs[13:], ys[13:], cfg_d)
+    assert len(th1) == len(th2)  # same early-stop epoch
+    np.testing.assert_allclose(th1, th2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(vh1, vh2, rtol=2e-4, atol=2e-5)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_device_fold_corpus_view_matches_host_lists():
+    """SeqView (resident-corpus gather) folds == host-list folds when the
+    padded shapes agree."""
+    from robust_speech_analysis_framework_tpu.train.loops import DeviceCorpus
+
+    rng = np.random.default_rng(4)
+    xs = [rng.normal(size=(100, 12)).astype(np.float32) for _ in range(15)]
+    ys = (rng.random(15) > 0.5).astype(int)
+    corpus = DeviceCorpus(xs, align=128)
+    tr, va = np.arange(10), np.arange(10, 15)
+    model = CNNLSTM(input_dim=12, cnn_out_channels=4, lstm_hidden_dim=4)
+    trainer = Trainer(model)
+    cfg = TrainConfig(
+        learning_rate=1e-3, epochs=4, patience=10, batch_size=4, seed=2,
+        dropout_rate=0.2, min_bucket=128, device_fold="on",
+        parallel_warmup=False,
+    )
+    s1, th1, vh1 = train_model(
+        trainer, corpus.view(tr), ys[tr], corpus.view(va), ys[va], cfg
+    )
+    # host lists pad to bucket_length(100, min_bucket=128) == 128 == corpus pad
+    s2, th2, vh2 = train_model(
+        trainer, [xs[i] for i in tr], ys[tr], [xs[i] for i in va], ys[va], cfg
+    )
+    np.testing.assert_allclose(th1, th2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(vh1, vh2, rtol=2e-4, atol=2e-5)
+    # eval through the view path matches the host path
+    yt1, yp1, pr1 = evaluate_model(trainer, s1, corpus.view(va), ys[va], cfg)
+    yt2, yp2, pr2 = evaluate_model(trainer, s1, [xs[i] for i in va], ys[va], cfg)
+    assert (yt1 == yt2).all() and (yp1 == yp2).all()
+    np.testing.assert_allclose(pr1, pr2, rtol=1e-4, atol=1e-5)
+
+
+def test_device_fold_mixed_lengths_contract():
+    """Mixed-length data: device fold still honors epochs/patience contract
+    and returns finite histories."""
+    xs, ys = _toy_dataset(n_per_class=8)
+    model = CNNLSTM(input_dim=12, cnn_out_channels=4, lstm_hidden_dim=4)
+    trainer = Trainer(model)
+    cfg = TrainConfig(
+        learning_rate=1e-3, epochs=40, patience=2, batch_size=4, seed=0,
+        min_bucket=16, device_fold="on", parallel_warmup=False,
+    )
+    state, th, vh = train_model(trainer, xs[:12], ys[:12], xs[12:], ys[12:], cfg)
+    assert 2 <= len(th) == len(vh) <= 40
+    assert np.isfinite(th).all() and np.isfinite(vh).all()
