@@ -279,10 +279,16 @@ def _attach_ratio(name: str, result: dict, baselines: dict) -> None:
             for key in ("svm_standard_5fold_seconds", "dl_3fold_seconds"):
                 if key in result and base.get(key):
                     result[f"vs_baseline_{key}"] = base[key] / result[key]
-            if result.get("dl_3fold_steady_seconds") and base.get("dl_3fold_seconds"):
-                result["vs_baseline_dl_3fold_steady"] = (
-                    base["dl_3fold_seconds"] / result["dl_3fold_steady_seconds"]
+            if result.get("dl_3fold_steady_seconds"):
+                # steady-vs-steady when the baseline recorded one, else the
+                # baseline's first pass (older baselines.json files)
+                base_steady = base.get("dl_3fold_steady_seconds") or base.get(
+                    "dl_3fold_seconds"
                 )
+                if base_steady:
+                    result["vs_baseline_dl_3fold_steady"] = (
+                        base_steady / result["dl_3fold_steady_seconds"]
+                    )
             result["baseline_impl"] = base.get("impl", "jax-cpu")
     except Exception:
         pass
