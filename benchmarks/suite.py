@@ -237,6 +237,29 @@ STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",
           "cnn_lstm_infer", "cv_round"]
 
 
+def link_probe(n_mb: int = 8) -> dict:
+    """Host↔device link bandwidth at measurement time.
+
+    The sequence-transfer stages (wav2vec2 sequences, openSMILE fetches)
+    are bound by this link on the tunneled dev rig, and it fluctuates by
+    >4× with external load — recording it alongside the throughput numbers
+    makes a bad-window measurement recognizable as such."""
+    import jax
+    import jax.numpy as jnp
+
+    a = np.ones((n_mb << 20) // 4, np.float32)
+    up = jnp.zeros(8)  # connection warm-up
+    np.asarray(up)
+    t0 = time.perf_counter()
+    d = jnp.asarray(a)
+    d.block_until_ready()
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(d)
+    down_s = time.perf_counter() - t0
+    return {"up_mb_per_s": n_mb / up_s, "down_mb_per_s": n_mb / down_s}
+
+
 def run_stage(name: str, quick: bool) -> dict:
     n_files = 3 if quick else 8
     seconds = 5.0 if quick else 20.0
@@ -320,6 +343,10 @@ def main():
 
     if args.stage:
         result = run_stage(args.stage, args.quick)
+        try:
+            result["link"] = link_probe()
+        except Exception:
+            pass
         print("STAGE_RESULT " + json.dumps(result))
         return
 
