@@ -160,13 +160,13 @@ def run_dl_standard_kfold_cv(
     cache = _TrainerCache(input_dim=X[0].shape[1])
     cv = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
 
+    trainer = cache.get(hyperparams)
     results, fold_predictions, histories, weights = [], [], [], []
     for fold, (train_idx, test_idx) in enumerate(cv.split(X, y)):
         X_train, y_train = _subset(X, train_idx), y[train_idx]
         X_test, y_test = _subset(X, test_idx), y[test_idx]
         # Inner 80/20 split for early stopping (reference :404-407).
         tr_idx, val_idx = train_test_indices(y_train, n_splits=5, seed=seed)
-        trainer = cache.get(hyperparams)
         cfg = TrainConfig(
             learning_rate=float(hyperparams["learning_rate"]),
             epochs=epochs,

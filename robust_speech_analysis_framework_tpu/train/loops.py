@@ -542,6 +542,17 @@ def _build_device_fold(trainer: Trainer, statics: tuple):
     return jax.jit(fold)
 
 
+def _fold_statics(cfg: "TrainConfig", n_tr: int, n_va: int) -> tuple:
+    s_full, r = divmod(n_tr, cfg.batch_size)
+    sv_full, rv = divmod(n_va, cfg.batch_size)
+    return (
+        cfg.use_length_masking, cfg.dropout_rate is not None, cfg.epochs,
+        cfg.patience, cfg.batch_size, cfg.use_plateau, cfg.restore_best,
+        float(cfg.plateau_factor), int(cfg.plateau_patience), s_full, r,
+        sv_full, rv,
+    )
+
+
 def _shared_corpus_views(train_sequences, val_sequences) -> bool:
     return (
         isinstance(train_sequences, SeqView)
@@ -587,12 +598,7 @@ def _train_model_device(
         va_full = np.arange(sv_full * cfg.batch_size, dtype=np.int64
                             ).reshape(sv_full, cfg.batch_size)
         va_rem = np.arange(sv_full * cfg.batch_size, m, dtype=np.int64)
-    statics = (
-        cfg.use_length_masking, cfg.dropout_rate is not None, cfg.epochs,
-        cfg.patience, cfg.batch_size, cfg.use_plateau, cfg.restore_best,
-        float(cfg.plateau_factor), int(cfg.plateau_patience), s_full, r,
-        sv_full, rv,
-    )
+    statics = _fold_statics(cfg, len(train_sequences), len(val_sequences))
     fn = trainer._fold_cache.get(statics)
     if fn is None:
         fn = trainer._fold_cache[statics] = _build_device_fold(trainer, statics)
