@@ -229,8 +229,25 @@ def bench_cv(quick: bool) -> dict:
     run_dl_standard_kfold_cv(seqs, meta, hp, n_splits=3,
                              epochs=epochs, patience=10, batch_size=4)
     dl_dt2 = time.perf_counter() - t0
+    # One TPE-style tuning trial — the reference's dominant workload is
+    # 25 of these per outer fold (src/dl_cv_strategies.py:197-254: 3 inner
+    # folds × 15 fixed epochs × batch 4).
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        _TrainerCache, _as_device_corpus, _inner_cv_score,
+        align_sequences_and_labels,
+    )
+
+    X, yv, _ = align_sequences_and_labels(seqs, meta)
+    Xc = _as_device_corpus(X)
+    cache = _TrainerCache(input_dim=768)
+    inner_epochs = 3 if quick else 15
+    _inner_cv_score(cache, hp, Xc, yv, 3, inner_epochs, 4, 42)  # compile
+    t0 = time.perf_counter()
+    _inner_cv_score(cache, hp, Xc, yv, 3, inner_epochs, 4, 42)
+    trial_dt = time.perf_counter() - t0
     return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt,
-            "dl_3fold_steady_seconds": dl_dt2}
+            "dl_3fold_steady_seconds": dl_dt2,
+            "dl_tuning_trial_seconds": trial_dt}
 
 
 STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",
@@ -299,7 +316,8 @@ def _attach_ratio(name: str, result: dict, baselines: dict) -> None:
             )
             result["baseline_impl"] = base.get("impl", "jax-cpu")
         elif name == "cv_round":
-            for key in ("svm_standard_5fold_seconds", "dl_3fold_seconds"):
+            for key in ("svm_standard_5fold_seconds", "dl_3fold_seconds",
+                        "dl_tuning_trial_seconds"):
                 if key in result and base.get(key):
                     result[f"vs_baseline_{key}"] = base[key] / result[key]
             if result.get("dl_3fold_steady_seconds"):

@@ -32,9 +32,30 @@ if _os.environ.get("RSAF_NO_COMPILE_CACHE") not in ("1", "true"):
     # from minutes into seconds. Opt out with RSAF_NO_COMPILE_CACHE=1.
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/rsaf_xla"),
+    def _machine_tag() -> str:
+        # CPU-feature fingerprint in the default cache path: XLA:CPU AOT
+        # entries compiled on a host with different ISA features load with
+        # "could lead to SIGILL" warnings when the cache directory migrates
+        # between machines (observed on this rig). A per-feature-set subdir
+        # keeps each machine's entries to itself. TPU entries are unaffected
+        # either way.
+        try:
+            import hashlib
+
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        return hashlib.sha1(
+                            " ".join(sorted(line.split()[2:])).encode()
+                        ).hexdigest()[:10]
+        except Exception:
+            pass
+        import platform
+
+        return platform.machine() or "unknown"
+
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+        _os.path.expanduser("~/.cache/rsaf_xla"), _machine_tag()
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
