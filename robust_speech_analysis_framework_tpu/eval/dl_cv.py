@@ -27,7 +27,9 @@ import numpy as np
 import pandas as pd
 
 from ..models import CNNLSTM
+from ..ops.framing import Deferred, collect
 from ..train import TrainConfig, Trainer, train_model, evaluate_model
+from ..train.loops import evaluate_model_deferred
 from ..tune import Study, TPESampler
 from .metrics import classification_metrics
 from .splits import StratifiedKFold, train_test_indices
@@ -138,6 +140,14 @@ def _stability_vector(state) -> np.ndarray:
     return np.asarray(stability_probe({"params": state.params}))
 
 
+def _stability_deferred(state) -> Deferred:
+    """Dispatch the conv1 stability probe; the (input_dim,) vector is
+    fetched with the fold's other results in one collect."""
+    from ..models.cnn_lstm import stability_probe
+
+    return Deferred(stability_probe({"params": state.params}), np.asarray)
+
+
 def run_dl_standard_kfold_cv(
     sequences_dict: Mapping[str, np.ndarray],
     metadata_df: pd.DataFrame,
@@ -161,7 +171,11 @@ def run_dl_standard_kfold_cv(
     cv = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
 
     trainer = cache.get(hyperparams)
-    results, fold_predictions, histories, weights = [], [], [], []
+    # Dispatch every fold's programs (train fold + stability probe + eval
+    # pass) back-to-back, deferring all device→host fetches to ONE collect:
+    # on a tunneled chip each blocking fetch costs a ~100 ms round trip, so
+    # a 5-fold run pays 1 instead of ~15.
+    deferreds: List[Deferred] = []
     for fold, (train_idx, test_idx) in enumerate(cv.split(X, y)):
         X_train, y_train = _subset(X, train_idx), y[train_idx]
         X_test, y_test = _subset(X, test_idx), y[test_idx]
@@ -176,7 +190,7 @@ def run_dl_standard_kfold_cv(
             dropout_rate=float(hyperparams.get("dropout_rate", 0.5)),
             use_length_masking=use_length_masking,
         )
-        state, th, vh = train_model(
+        state, hist = train_model(
             trainer,
             _subset(X_train, tr_idx),
             y_train[tr_idx],
@@ -184,10 +198,17 @@ def run_dl_standard_kfold_cv(
             y_train[val_idx],
             cfg,
             verbose=verbose,
+            defer_histories=True,
         )
+        deferreds += [hist, _stability_deferred(state),
+                      evaluate_model_deferred(trainer, state, X_test, y_test, cfg)]
+
+    results, fold_predictions, histories, weights = [], [], [], []
+    flat = collect(deferreds)
+    for fold in range(0, len(flat) // 3):
+        (th, vh), w, (y_true, y_pred, y_prob) = flat[3 * fold : 3 * fold + 3]
         histories.append({"train": th, "val": vh})
-        weights.append(_stability_vector(state))
-        y_true, y_pred, y_prob = evaluate_model(trainer, state, X_test, y_test, cfg)
+        weights.append(w)
         fold_predictions.append({"y_true": y_true, "y_prob": y_prob})
         results.append({"fold": fold + 1, **classification_metrics(y_true, y_pred, y_prob)})
         if verbose:
@@ -207,12 +228,17 @@ def _inner_cv_score(
     use_length_masking: bool = True,
 ) -> float:
     """Mean inner-fold macro-F1 at fixed short training (reference
-    _objective: 3 folds × 15 epochs × batch 4, :224-254)."""
+    _objective: 3 folds × 15 epochs × batch 4, :224-254).
+
+    All three folds' training programs and eval passes dispatch
+    back-to-back with one fetch at the end: the trial — the reference's
+    dominant workload (25 per outer fold) — pays one tunnel round trip
+    instead of several per fold."""
     from .metrics import f1_macro
 
     inner = StratifiedKFold(n_splits=n_splits_inner, shuffle=True, random_state=seed)
-    scores = []
     trainer = cache.get(params)
+    deferreds = []
     for tr_idx, val_idx in inner.split(X_tv, y_tv):
         cfg = TrainConfig(
             learning_rate=float(params["learning_rate"]),
@@ -229,18 +255,23 @@ def _inner_cv_score(
             use_plateau=False,
             restore_best=False,
         )
-        state, _, _ = train_model(
+        X_val = _subset(X_tv, val_idx)
+        state, _ = train_model(
             trainer,
             _subset(X_tv, tr_idx),
             y_tv[tr_idx],
-            _subset(X_tv, val_idx),
+            X_val,
             y_tv[val_idx],
             cfg,
+            defer_histories=True,
         )
-        y_true, y_pred, _ = evaluate_model(
-            trainer, state, _subset(X_tv, val_idx), y_tv[val_idx], cfg
+        deferreds.append(
+            evaluate_model_deferred(trainer, state, X_val, y_tv[val_idx], cfg)
         )
-        scores.append(f1_macro(y_true, y_pred))
+    scores = [
+        f1_macro(y_true, y_pred)
+        for y_true, y_pred, _ in collect(deferreds)
+    ]
     return float(np.mean(scores))
 
 
@@ -273,6 +304,8 @@ def run_dl_nested_cv(
     outer = StratifiedKFold(n_splits=n_splits_outer, shuffle=True, random_state=seed)
 
     results, fold_predictions, weights = [], [], []
+    deferreds: List[Deferred] = []
+    fold_best: List[dict] = []
     for fold, (tv_idx, test_idx) in enumerate(outer.split(X, y)):
         X_tv, y_tv = _subset(X, tv_idx), y[tv_idx]
         X_test, y_test = _subset(X, test_idx), y[test_idx]
@@ -296,12 +329,15 @@ def run_dl_nested_cv(
         study = Study(direction="maximize", sampler=TPESampler(seed=seed + fold))
         study.optimize(objective, n_trials=n_trials)
         best_params = study.best_params
+        fold_best.append(dict(best_params))
         if verbose:
             print(f"[nested] fold {fold + 1} best: {best_params} "
                   f"(inner F1 {study.best_value:.3f})")
 
         # Final training on an 80/20 split of the outer train set
-        # (reference :316-333).
+        # (reference :316-333). Dispatched deferred: its device programs
+        # execute while the NEXT fold's TPE study runs; everything is
+        # fetched in one collect at the end.
         tr_idx, val_idx = train_test_indices(y_tv, n_splits=5, seed=seed)
         trainer = cache.get(best_params)
         cfg = TrainConfig(
@@ -313,21 +349,27 @@ def run_dl_nested_cv(
             dropout_rate=float(best_params.get("dropout_rate", 0.5)),
             use_length_masking=use_length_masking,
         )
-        state, _, _ = train_model(
+        state, _hist = train_model(
             trainer,
             _subset(X_tv, tr_idx),
             y_tv[tr_idx],
             _subset(X_tv, val_idx),
             y_tv[val_idx],
             cfg,
+            defer_histories=True,
         )
-        weights.append(_stability_vector(state))
-        y_true, y_pred, y_prob = evaluate_model(trainer, state, X_test, y_test, cfg)
+        deferreds += [_stability_deferred(state),
+                      evaluate_model_deferred(trainer, state, X_test, y_test, cfg)]
+
+    flat = collect(deferreds)
+    for fold in range(len(flat) // 2):
+        w, (y_true, y_pred, y_prob) = flat[2 * fold : 2 * fold + 2]
+        weights.append(w)
         fold_predictions.append({"y_true": y_true, "y_prob": y_prob})
         results.append(
             {
                 "fold": fold + 1,
-                "best_params": dict(best_params),
+                "best_params": fold_best[fold],
                 **classification_metrics(y_true, y_pred, y_prob),
             }
         )

@@ -24,6 +24,8 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
+from ..ops.framing import Deferred
+
 
 class TrainState(struct.PyTreeNode):
     params: Any
@@ -253,6 +255,75 @@ class Trainer:
         for item in pending:
             drain(item)
         return logits_out
+
+    def eval_logits_deferred(
+        self,
+        state: TrainState,
+        sequences: Sequence[np.ndarray],
+        cfg: TrainConfig,
+    ) -> Deferred:
+        """Dispatch the whole eval pass and return a :class:`Deferred` whose
+        result is the (N, num_classes) logits array.
+
+        Nothing blocks here: callers (the CV engines) dispatch every fold's
+        training + eval back-to-back and fetch all of them in one collect,
+        instead of paying a tunnel round trip per fold. Per-batch logits are
+        tiny (B × classes), so keeping them on device until the collect
+        costs nothing; on the list path the padded INPUT batches of
+        dispatched-but-unexecuted programs do stay resident, so oversized
+        eval sets fall back to the bounded eager pass.
+        """
+        from ..data.batching import bucket_length
+
+        n = len(sequences)
+        if not isinstance(sequences, SeqView):
+            d = int(np.asarray(sequences[0]).shape[1]) if n else 0
+            pad_bytes = sum(
+                4 * d * bucket_length(len(s), cfg.min_bucket)
+                for s in sequences
+            )
+            if pad_bytes > (1 << 30):
+                return Deferred.ready(self.eval_logits(state, sequences, cfg))
+
+        idx_groups: List[np.ndarray] = []
+        outs = []
+        if isinstance(sequences, SeqView):
+            corpus = sequences.corpus
+            if not hasattr(self, "_eval_gather"):
+                self._eval_gather = jax.jit(
+                    lambda st, x, ln, idx, masked: self._eval_step_impl(
+                        st, x[idx], ln[idx], masked
+                    ),
+                    static_argnums=(4,),
+                )
+            for start in range(0, n, cfg.batch_size):
+                loc = np.arange(start, min(start + cfg.batch_size, n))
+                idx_groups.append(loc)
+                outs.append(self._eval_gather(
+                    state, corpus.x, corpus.lengths,
+                    jnp.asarray(sequences.idx[loc].astype(np.int32)),
+                    cfg.use_length_masking,
+                ))
+        else:
+            from ..data.batching import length_sorted_batches, pad_batch
+
+            for idx in length_sorted_batches(sequences, cfg.batch_size):
+                batch, lengths = pad_batch(
+                    [sequences[i] for i in idx], min_bucket=cfg.min_bucket
+                )
+                idx_groups.append(idx)
+                outs.append(self._eval_step(
+                    state, jnp.asarray(batch), jnp.asarray(lengths),
+                    cfg.use_length_masking,
+                ))
+
+        def finalize(host):
+            logits_out = np.zeros((n, self.model.num_classes), np.float32)
+            for idx, out in zip(idx_groups, host):
+                logits_out[idx] = np.asarray(out)
+            return logits_out
+
+        return Deferred(outs, finalize)
 
 
 def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
@@ -563,8 +634,8 @@ def _shared_corpus_views(train_sequences, val_sequences) -> bool:
 
 def _train_model_device(
     trainer, train_sequences, train_labels, val_sequences, val_labels, cfg,
-    state, rng,
-) -> Tuple[TrainState, List[float], List[float]]:
+    state, rng, defer_histories: bool = False,
+):
     """Dispatch one device-resident fold program (see _build_device_fold)."""
     full_l, rem_l = _epoch_batch_plan(
         len(train_sequences), cfg.epochs, cfg.batch_size, cfg.seed
@@ -611,12 +682,22 @@ def _train_model_device(
         jnp.asarray(np.asarray(va_full, np.int32)),
         jnp.asarray(np.asarray(va_rem, np.int32)),
     )
-    n_epochs = int(n_epochs)
-    return (
-        final,
-        [float(v) for v in np.asarray(th)[:n_epochs]],
-        [float(v) for v in np.asarray(vh)[:n_epochs]],
-    )
+
+    def _trim(host):
+        th_h, vh_h, n = host
+        n = int(n)
+        return (
+            [float(v) for v in np.asarray(th_h)[:n]],
+            [float(v) for v in np.asarray(vh_h)[:n]],
+        )
+
+    hist = Deferred((th, vh, n_epochs), _trim)
+    if defer_histories:
+        # the final state stays on device; nothing here blocks, so callers
+        # can queue the next fold's programs behind this one
+        return final, hist
+    th_l, vh_l = hist.result()
+    return final, th_l, vh_l
 
 
 def _device_fold_fits(train_sequences, val_sequences, cfg) -> bool:
@@ -640,7 +721,8 @@ def train_model(
     val_labels: Sequence[int],
     cfg: TrainConfig,
     verbose: bool = False,
-) -> Tuple[TrainState, List[float], List[float]]:
+    defer_histories: bool = False,
+):
     """Full training run with early stopping and best-weight restore.
 
     Returns (best_state, train_loss_history, val_loss_history) — the same
@@ -648,6 +730,12 @@ def train_model(
     87-165): per-epoch mean train loss, per-epoch val loss, plateau LR decay,
     stop after ``patience`` epochs without val improvement, return the
     best-val-loss weights.
+
+    With ``defer_histories`` the return is ``(best_state, Deferred)`` where
+    the Deferred resolves to ``(train_hist, val_hist)`` — on the
+    device-resident fold path nothing blocks, so a CV engine can dispatch
+    every fold's training + eval and fetch them all in one collect (one
+    tunnel round trip instead of one per fold).
     """
     from ..data.batching import batch_iterator, pad_batch
 
@@ -668,7 +756,7 @@ def train_model(
     ):
         return _train_model_device(
             trainer, train_sequences, train_labels, val_sequences, val_labels,
-            cfg, state, rng,
+            cfg, state, rng, defer_histories=defer_histories,
         )
 
     if cfg.parallel_warmup and train_sequences and val_sequences:
@@ -738,7 +826,36 @@ def train_model(
                 print(f"  > early stop at epoch {epoch + 1}")
             break
 
-    return (best_state if cfg.restore_best else state), train_hist, val_hist
+    final = best_state if cfg.restore_best else state
+    if defer_histories:  # streaming path ran eagerly; wrap for API symmetry
+        return final, Deferred.ready((train_hist, val_hist))
+    return final, train_hist, val_hist
+
+
+def evaluate_model_deferred(
+    trainer: Trainer,
+    state: TrainState,
+    sequences: Sequence[np.ndarray],
+    labels: Sequence[int],
+    cfg: TrainConfig,
+) -> Deferred:
+    """Deferred :func:`evaluate_model`: dispatches the eval pass and returns
+    a Deferred resolving to (y_true, y_pred, p_class1). Composes with
+    ``train_model(..., defer_histories=True)`` so CV engines overlap every
+    fold's programs and fetch once."""
+    d = trainer.eval_logits_deferred(state, sequences, cfg)
+    y_true = np.asarray(labels)
+
+    def finalize(host):
+        # host-side softmax: finalize runs at collect time and must not
+        # dispatch device work (that would re-serialize on round trips)
+        logits = d.finalize(host)
+        z = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs = (z / z.sum(axis=-1, keepdims=True))[:, 1]
+        preds = np.argmax(logits, axis=-1)
+        return y_true, np.asarray(preds), probs.astype(np.float32)
+
+    return Deferred(d.arrays, finalize)
 
 
 def evaluate_model(
