@@ -115,22 +115,56 @@ def _subset(seq: Sequence, idx: np.ndarray):
     return [seq[i] for i in idx]
 
 
-# device-resident corpus budget: one padded (N, T, D) f32 buffer per CV run
-_CORPUS_BUDGET_BYTES = 4 << 30
+# fallback device-resident corpus budget when the backend reports no memory
+# stats: one padded (N, T, D) f32 buffer per CV run
+_CORPUS_BUDGET_FALLBACK_BYTES = 4 << 30
 
 
-def _as_device_corpus(X: list):
-    """Wrap a sequence list as a resident-corpus view when it fits HBM;
-    folds and trials then gather rows on device instead of re-uploading
-    their subsets (the dominant per-fold cost on a tunneled chip)."""
-    from ..train.loops import DeviceCorpus
+def _corpus_budget_bytes() -> int:
+    """Resident-corpus budget derived from the device's actual memory.
+
+    Uses ``memory_stats()['bytes_limit']`` where the backend reports it
+    (TPU does), keeping the corpus to ≤ 1/4 of HBM so fold activations,
+    lane-batched trial states and XLA scratch still fit; falls back to a
+    4 GiB literal on backends without stats (CPU)."""
+    import jax
 
     try:
-        if DeviceCorpus.nbytes_estimate(X) > _CORPUS_BUDGET_BYTES:
-            return X
-        corpus = DeviceCorpus(X)
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit // 4
     except Exception:
-        return X  # allocation/upload failure → host streaming path
+        pass
+    return _CORPUS_BUDGET_FALLBACK_BYTES
+
+
+def _as_device_corpus(X: list, mesh=None):
+    """Wrap a sequence list as a resident-corpus view when it fits HBM;
+    folds and trials then gather rows on device instead of re-uploading
+    their subsets (the dominant per-fold cost on a tunneled chip). With
+    ``mesh`` the buffer is replicated over the mesh so lane-sharded trial
+    programs can read it."""
+    from ..train.loops import DeviceCorpus
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+    if DeviceCorpus.nbytes_estimate(X) > _corpus_budget_bytes():
+        return X
+    try:
+        corpus = DeviceCorpus(X, sharding=sharding)
+    except (RuntimeError, MemoryError) as e:
+        # allocation/transfer failure only (XlaRuntimeError subclasses
+        # RuntimeError) — programming errors propagate
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "resident-corpus upload failed (%s); streaming folds from host", e
+        )
+        return X
     return corpus.view(np.arange(len(X)))
 
 
@@ -275,6 +309,97 @@ def _inner_cv_score(
     return float(np.mean(scores))
 
 
+def _suggest_params(trial, space: Mapping[str, tuple]) -> Dict[str, Any]:
+    """Sample one parameter set from a search-space spec via a TPE trial."""
+    params: Dict[str, Any] = {}
+    for name, spec in space.items():
+        kind = spec[0]
+        if kind == "float_log":
+            params[name] = trial.suggest_float(name, spec[1], spec[2], log=True)
+        elif kind == "float":
+            params[name] = trial.suggest_float(name, spec[1], spec[2])
+        else:
+            params[name] = trial.suggest_categorical(name, spec[1])
+    return params
+
+
+def _arch_key(p: Mapping[str, Any]) -> tuple:
+    return (
+        int(p.get("cnn_out_channels", 128)),
+        int(p.get("lstm_hidden_dim", 128)),
+        str(p.get("activation_fn", "silu")),
+    )
+
+
+def _inner_cv_scores_batch(
+    cache: _TrainerCache,
+    params_list: Sequence[Mapping[str, Any]],
+    X_tv: Sequence[np.ndarray],
+    y_tv: np.ndarray,
+    n_splits_inner: int,
+    inner_epochs: int,
+    inner_batch_size: int,
+    seed: int,
+    use_length_masking: bool = True,
+    mesh=None,
+) -> List[float]:
+    """Mean inner-fold macro-F1 for a BATCH of trials, order-preserving.
+
+    The TPU answer to the reference's sequential 25-trials-per-outer-fold
+    Optuna loop (src/dl_cv_strategies.py:308-310): trials are grouped by
+    architecture, each group trains as ONE lane-vmapped fold program per
+    inner fold (train_trials_device) with its eval pass lane-batched too,
+    and every program's outputs are fetched in a single collect — a round
+    of K trials costs (#archs × n_inner) dispatches and one device→host
+    round trip instead of K × n_inner × (folds + fetches). With ``mesh``
+    the trial lanes shard across chips.
+    """
+    from .metrics import f1_macro
+    from ..train.loops import train_trials_device
+
+    inner = StratifiedKFold(n_splits=n_splits_inner, shuffle=True, random_state=seed)
+    folds = list(inner.split(X_tv, y_tv))
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(params_list):
+        groups.setdefault(_arch_key(p), []).append(i)
+
+    deferreds, slots = [], []
+    for idxs in groups.values():
+        trainer = cache.get(params_list[idxs[0]])
+        lrs = [float(params_list[i]["learning_rate"]) for i in idxs]
+        rates = [float(params_list[i].get("dropout_rate", 0.5)) for i in idxs]
+        for tr_idx, val_idx in folds:
+            cfg = TrainConfig(
+                learning_rate=lrs[0],
+                epochs=inner_epochs,
+                patience=inner_epochs + 1,  # no early stop in the tuning loop
+                batch_size=inner_batch_size,
+                seed=seed,
+                dropout_rate=rates[0],
+                use_length_masking=use_length_masking,
+                # reference _objective semantics: fixed epochs, final
+                # weights, no plateau decay (src/dl_cv_strategies.py:234-248)
+                use_plateau=False,
+                restore_best=False,
+            )
+            X_val = _subset(X_tv, val_idx)
+            states, _ = train_trials_device(
+                trainer, _subset(X_tv, tr_idx), y_tv[tr_idx],
+                X_val, y_tv[val_idx], cfg, lrs, rates, mesh=mesh,
+            )
+            deferreds.append(
+                trainer.eval_logits_trials_deferred(states, X_val, cfg)
+            )
+            slots.append((idxs, y_tv[val_idx]))
+
+    per_trial: List[List[float]] = [[] for _ in params_list]
+    for logits, (idxs, y_val) in zip(collect(deferreds), slots):
+        preds = np.argmax(logits, axis=-1)  # (K_group, n_val)
+        for lane, ti in enumerate(idxs):
+            per_trial[ti].append(f1_macro(y_val, preds[lane]))
+    return [float(np.mean(s)) for s in per_trial]
+
+
 def run_dl_nested_cv(
     sequences_dict: Mapping[str, np.ndarray],
     metadata_df: pd.DataFrame,
@@ -290,18 +415,31 @@ def run_dl_nested_cv(
     search_space: Optional[Mapping[str, tuple]] = None,
     verbose: bool = False,
     use_length_masking: bool = True,
+    trial_batch: int = 8,
+    mesh=None,
 ) -> Tuple[pd.DataFrame, List[dict], np.ndarray]:
     """Nested CV: per-outer-fold TPE hyperparameter search + final training.
 
     Contract of reference run_pytorch_nested_cv_with_optuna (:257-354):
     returns (results_df incl. best_params per fold, fold_predictions,
     stability_weights).
+
+    ``trial_batch`` > 1 runs the TPE search in ask-K rounds: K candidates
+    are drawn from the current posterior, scored concurrently via
+    lane-vmapped fold programs (see _inner_cv_scores_batch), and told back
+    to the sampler as a batch. The schedule is deterministic given the seed
+    but differs from the sequential (``trial_batch=1``) schedule, which
+    updates the posterior after every single trial — exactly the classic
+    sequential-vs-batched Bayesian-optimization trade. With ``mesh`` the
+    trial lanes shard across its ``dp`` axis.
     """
     space = dict(search_space or DEFAULT_SEARCH_SPACE)
     X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
-    X = _as_device_corpus(X)
+    X = _as_device_corpus(X, mesh=mesh)
     cache = _TrainerCache(input_dim=X[0].shape[1])
     outer = StratifiedKFold(n_splits=n_splits_outer, shuffle=True, random_state=seed)
+
+    from ..train.loops import SeqView, _device_fold_fits
 
     results, fold_predictions, weights = [], [], []
     deferreds: List[Deferred] = []
@@ -311,23 +449,36 @@ def run_dl_nested_cv(
         X_test, y_test = _subset(X, test_idx), y[test_idx]
 
         def objective(trial):
-            params = {}
-            for name, spec in space.items():
-                kind = spec[0]
-                if kind == "float_log":
-                    params[name] = trial.suggest_float(name, spec[1], spec[2], log=True)
-                elif kind == "float":
-                    params[name] = trial.suggest_float(name, spec[1], spec[2])
-                else:
-                    params[name] = trial.suggest_categorical(name, spec[1])
             return _inner_cv_score(
-                cache, params, X_tv, y_tv, n_splits_inner,
-                inner_epochs, inner_batch_size, seed,
+                cache, _suggest_params(trial, space), X_tv, y_tv,
+                n_splits_inner, inner_epochs, inner_batch_size, seed,
                 use_length_masking=use_length_masking,
             )
 
         study = Study(direction="maximize", sampler=TPESampler(seed=seed + fold))
-        study.optimize(objective, n_trials=n_trials)
+        _probe_cfg = TrainConfig(
+            epochs=inner_epochs, batch_size=inner_batch_size,
+        )
+        use_batched = trial_batch > 1 and (
+            isinstance(X_tv, SeqView)
+            or _device_fold_fits(X_tv, X_tv, _probe_cfg)
+        )
+        if use_batched:
+            done = 0
+            while done < n_trials:
+                k = min(trial_batch, n_trials - done)
+                asked = [study.ask() for _ in range(k)]
+                plist = [_suggest_params(t, space) for t in asked]
+                scores = _inner_cv_scores_batch(
+                    cache, plist, X_tv, y_tv,
+                    n_splits_inner, inner_epochs, inner_batch_size, seed,
+                    use_length_masking=use_length_masking, mesh=mesh,
+                )
+                for t, s in zip(asked, scores):
+                    study.tell(t, s)
+                done += k
+        else:
+            study.optimize(objective, n_trials=n_trials)
         best_params = study.best_params
         fold_best.append(dict(best_params))
         if verbose:

@@ -325,6 +325,66 @@ class Trainer:
 
         return Deferred(outs, finalize)
 
+    def _trials_eval_fn(self, masked: bool, gather: bool):
+        """Jitted lane-vmapped eval step for a stacked trial TrainState."""
+        key = ("trials_eval", masked, gather)
+        fn = self._fold_cache.get(key)
+        if fn is None:
+            if gather:
+                f = lambda st, x, ln, idx: self._eval_step_impl(
+                    st, x[idx], ln[idx], masked
+                )
+                axes = (0, None, None, None)
+            else:
+                f = lambda st, x, ln: self._eval_step_impl(st, x, ln, masked)
+                axes = (0, None, None)
+            fn = self._fold_cache[key] = jax.jit(jax.vmap(f, in_axes=axes))
+        return fn
+
+    def eval_logits_trials_deferred(
+        self,
+        states: TrainState,
+        sequences: Sequence[np.ndarray],
+        cfg: TrainConfig,
+    ) -> Deferred:
+        """Eval pass for a lane-stacked trial state (train_trials_device):
+        Deferred resolving to (K, N, num_classes) logits — every lane scores
+        the same validation batch, so the batch uploads/gathers once and the
+        model applies lane-batched. Inputs are passed as host numpy (never
+        pre-committed) so the program follows the states' sharding: on a
+        mesh, each chip evaluates its own trial's lane."""
+        n = len(sequences)
+        k = int(states.lr.shape[0])
+        outs, idx_groups = [], []
+        if isinstance(sequences, SeqView):
+            corpus = sequences.corpus
+            fn = self._trials_eval_fn(cfg.use_length_masking, gather=True)
+            for start in range(0, n, cfg.batch_size):
+                loc = np.arange(start, min(start + cfg.batch_size, n))
+                idx_groups.append(loc)
+                outs.append(fn(
+                    states, corpus.x, corpus.lengths,
+                    sequences.idx[loc].astype(np.int32),
+                ))
+        else:
+            from ..data.batching import length_sorted_batches, pad_batch
+
+            fn = self._trials_eval_fn(cfg.use_length_masking, gather=False)
+            for idx in length_sorted_batches(sequences, cfg.batch_size):
+                batch, lengths = pad_batch(
+                    [sequences[i] for i in idx], min_bucket=cfg.min_bucket
+                )
+                idx_groups.append(idx)
+                outs.append(fn(states, batch, lengths))
+
+        def finalize(host):
+            logits_out = np.zeros((k, n, self.model.num_classes), np.float32)
+            for idx, out in zip(idx_groups, host):
+                logits_out[:, idx] = np.asarray(out)
+            return logits_out
+
+        return Deferred(outs, finalize)
+
 
 def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
     """Compile every step shape the epoch loop can encounter, concurrently.
@@ -426,7 +486,9 @@ class DeviceCorpus:
     ``align`` frames — a single compiled shape for every fold and trial.
     """
 
-    def __init__(self, sequences: Sequence[np.ndarray], align: int = 128):
+    def __init__(
+        self, sequences: Sequence[np.ndarray], align: int = 128, sharding=None
+    ):
         self.seqs = [np.asarray(s, dtype=np.float32) for s in sequences]
         lens = [len(s) for s in self.seqs]
         t_pad = max(align, -(-max(lens) // align) * align)
@@ -434,8 +496,14 @@ class DeviceCorpus:
         buf = np.zeros((len(self.seqs), t_pad, d), np.float32)
         for i, s in enumerate(self.seqs):
             buf[i, : len(s)] = s
-        self.x = jnp.asarray(buf)
-        self.lengths = jnp.asarray(np.asarray(lens, np.int32))
+        if sharding is not None:
+            # mesh callers replicate the corpus so lane-sharded trial
+            # programs (train_trials_device) can read it on every chip
+            self.x = jax.device_put(buf, sharding)
+            self.lengths = jax.device_put(np.asarray(lens, np.int32), sharding)
+        else:
+            self.x = jnp.asarray(buf)
+            self.lengths = jnp.asarray(np.asarray(lens, np.int32))
         self.host_lengths = np.asarray(lens, np.int64)
 
     def view(self, idx: np.ndarray) -> "SeqView":
@@ -497,8 +565,8 @@ def _pad_all(sequences, min_bucket: int) -> Tuple[np.ndarray, np.ndarray]:
     return pad_batch(list(sequences), min_bucket=min_bucket)
 
 
-def _build_device_fold(trainer: Trainer, statics: tuple):
-    """One XLA program running a complete training fold on device.
+def _device_fold_fn(trainer: Trainer, statics: tuple):
+    """The raw (unjitted) fold function — one complete training fold.
 
     Replaces the host epoch loop of :func:`train_model` (reference
     src/dl_cv_strategies.py:87-165) with a ``lax.while_loop`` over epochs —
@@ -610,7 +678,34 @@ def _build_device_fold(trainer: Trainer, statics: tuple):
             )
         return final, out["train_hist"], out["val_hist"], out["epoch"]
 
-    return jax.jit(fold)
+    return fold
+
+
+def _build_device_fold(trainer: Trainer, statics: tuple):
+    """Jitted single-fold program (see :func:`_device_fold_fn`)."""
+    return jax.jit(_device_fold_fn(trainer, statics))
+
+
+def _build_device_fold_trials(trainer: Trainer, statics: tuple):
+    """K hyperparameter trials of ONE architecture as one vmapped program.
+
+    The reference runs tuning trials strictly sequentially (Optuna
+    ``n_jobs=1`` "for GPU safety", src/dl_cv_strategies.py:308-310). Trials
+    that share an architecture differ only in learning rate and dropout
+    rate — both runtime scalars of the compiled fold — so a whole batch of
+    them stacks into one ``jax.vmap``'d fold program: every matmul runs
+    lane-batched on the MXU, and under a device mesh the lane axis shards
+    across chips so each chip trains its own trial (the only collective is
+    the batched while_loop's lane-any predicate reduce).
+
+    Lane-mapped inputs: ``state.lr`` and the dropout ``rate``; everything
+    else (initial params, rng stream, fold data, batch plan) is identical
+    across lanes, exactly as the sequential path would see it.
+    """
+    fold = _device_fold_fn(trainer, statics)
+    state_axes = TrainState(params=None, batch_stats=None, opt_state=None, lr=0)
+    in_axes = (state_axes, None, 0) + (None,) * 10
+    return jax.jit(jax.vmap(fold, in_axes=in_axes))
 
 
 def _fold_statics(cfg: "TrainConfig", n_tr: int, n_va: int) -> tuple:
@@ -632,15 +727,21 @@ def _shared_corpus_views(train_sequences, val_sequences) -> bool:
     )
 
 
-def _train_model_device(
-    trainer, train_sequences, train_labels, val_sequences, val_labels, cfg,
-    state, rng, defer_histories: bool = False,
+def _fold_operands(
+    train_sequences, train_labels, val_sequences, val_labels, cfg, put=None
 ):
-    """Dispatch one device-resident fold program (see _build_device_fold)."""
+    """The 10 array operands of a device-fold program:
+    (x_tr, len_tr, y_tr, full, rem, x_va, len_va, y_va, va_full, va_rem).
+
+    ``put`` places derived host arrays on device (default ``jnp.asarray``);
+    mesh callers pass a replicating ``jax.device_put`` so operands coexist
+    with lane-sharded trial inputs. Resident-corpus buffers are used as-is —
+    their placement is the corpus owner's responsibility.
+    """
+    put = put or jnp.asarray
     full_l, rem_l = _epoch_batch_plan(
         len(train_sequences), cfg.epochs, cfg.batch_size, cfg.seed
     )
-    s_full, r = full_l.shape[1], rem_l.shape[1]
     sv_full, rv = divmod(len(val_sequences), cfg.batch_size)
     if _shared_corpus_views(train_sequences, val_sequences):
         # zero-upload path: gather fold rows from the resident buffer
@@ -654,34 +755,43 @@ def _train_model_device(
         y_global = np.zeros(len(corpus.seqs), np.int32)
         y_global[tr_idx] = np.asarray(train_labels, np.int32)
         y_global[va_idx] = np.asarray(val_labels, np.int32)
-        y_tr = y_va = jnp.asarray(y_global)
+        y_tr = y_va = put(y_global)
         va_full = va_idx[: sv_full * cfg.batch_size].reshape(sv_full, cfg.batch_size)
         va_rem = va_idx[sv_full * cfg.batch_size:]
     else:
         x_tr, len_tr = _pad_all(train_sequences, cfg.min_bucket)
         x_va, len_va = _pad_all(val_sequences, cfg.min_bucket)
-        x_tr, len_tr = jnp.asarray(x_tr), jnp.asarray(len_tr)
-        x_va, len_va = jnp.asarray(x_va), jnp.asarray(len_va)
-        y_tr = jnp.asarray(np.asarray(train_labels, np.int32))
-        y_va = jnp.asarray(np.asarray(val_labels, np.int32))
+        x_tr, len_tr = put(x_tr), put(len_tr)
+        x_va, len_va = put(x_va), put(len_va)
+        y_tr = put(np.asarray(train_labels, np.int32))
+        y_va = put(np.asarray(val_labels, np.int32))
         full, rem = full_l, rem_l
         m = len(val_sequences)
         va_full = np.arange(sv_full * cfg.batch_size, dtype=np.int64
                             ).reshape(sv_full, cfg.batch_size)
         va_rem = np.arange(sv_full * cfg.batch_size, m, dtype=np.int64)
+    return (
+        x_tr, len_tr, y_tr,
+        put(np.asarray(full, np.int32)), put(np.asarray(rem, np.int32)),
+        x_va, len_va, y_va,
+        put(np.asarray(va_full, np.int32)), put(np.asarray(va_rem, np.int32)),
+    )
+
+
+def _train_model_device(
+    trainer, train_sequences, train_labels, val_sequences, val_labels, cfg,
+    state, rng, defer_histories: bool = False,
+):
+    """Dispatch one device-resident fold program (see _build_device_fold)."""
+    operands = _fold_operands(
+        train_sequences, train_labels, val_sequences, val_labels, cfg
+    )
     statics = _fold_statics(cfg, len(train_sequences), len(val_sequences))
     fn = trainer._fold_cache.get(statics)
     if fn is None:
         fn = trainer._fold_cache[statics] = _build_device_fold(trainer, statics)
     rate = jnp.float32(cfg.dropout_rate if cfg.dropout_rate is not None else 0.0)
-    final, th, vh, n_epochs = fn(
-        state, rng, rate, x_tr, len_tr, y_tr,
-        jnp.asarray(np.asarray(full, np.int32)),
-        jnp.asarray(np.asarray(rem, np.int32)),
-        x_va, len_va, y_va,
-        jnp.asarray(np.asarray(va_full, np.int32)),
-        jnp.asarray(np.asarray(va_rem, np.int32)),
-    )
+    final, th, vh, n_epochs = fn(state, rng, rate, *operands)
 
     def _trim(host):
         th_h, vh_h, n = host
@@ -711,6 +821,92 @@ def _device_fold_fits(train_sequences, val_sequences, cfg) -> bool:
     t_va = bucket_length(max(len(s) for s in val_sequences), cfg.min_bucket)
     n_bytes = 4 * d * (len(train_sequences) * t_tr + len(val_sequences) * t_va)
     return n_bytes <= cfg.device_fold_budget_bytes
+
+
+def train_trials_device(
+    trainer: Trainer,
+    train_sequences: Sequence[np.ndarray],
+    train_labels: Sequence[int],
+    val_sequences: Sequence[np.ndarray],
+    val_labels: Sequence[int],
+    cfg: TrainConfig,
+    learning_rates: Sequence[float],
+    dropout_rates: Sequence[float],
+    mesh=None,
+    lane_axis: str = "dp",
+) -> Tuple[TrainState, Deferred]:
+    """Train K same-architecture tuning trials as ONE vmapped fold program.
+
+    Replaces the reference's strictly sequential Optuna trials
+    (src/dl_cv_strategies.py:308-310, ``n_jobs=1``) with a lane-batched
+    program: lanes differ only in learning rate and dropout rate, which are
+    runtime scalars, so one XLA program trains the whole batch — matmuls run
+    lane-batched on the MXU on one chip, and with ``mesh`` the lane axis is
+    sharded over ``lane_axis`` so each chip trains its own trial.
+
+    Returns ``(states, histories)`` where every leaf of ``states`` has a
+    leading lane axis K and ``histories`` is a Deferred resolving to a list
+    of per-lane ``(train_hist, val_hist)`` pairs. Nothing blocks; compose
+    with :meth:`Trainer.eval_logits_trials_deferred` and fetch once.
+
+    Lane parity: initial params and the rng stream come from ``cfg.seed``
+    exactly as in :func:`train_model`, so lane i reproduces what a
+    sequential run of trial i would compute.
+    """
+    if len(learning_rates) != len(dropout_rates):
+        raise ValueError("learning_rates and dropout_rates must align")
+    k = len(learning_rates)
+    from ..data.batching import pad_batch
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    example, _ = pad_batch(
+        [train_sequences[0][: min(len(train_sequences[0]), 2)]],
+        min_bucket=cfg.min_bucket,
+    )
+    rng, init_rng = jax.random.split(rng)
+    state = trainer.init_state(init_rng, jnp.asarray(example), cfg.learning_rate)
+
+    put = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        lane = NamedSharding(
+            mesh,
+            PartitionSpec(lane_axis if k % mesh.shape[lane_axis] == 0 else None),
+        )
+        put = lambda a: jax.device_put(jnp.asarray(a), repl)  # noqa: E731
+        state, rng = jax.device_put((state, rng), repl)
+    operands = _fold_operands(
+        train_sequences, train_labels, val_sequences, val_labels, cfg, put=put
+    )
+    lrs = np.asarray(learning_rates, np.float32)
+    rates = np.asarray(dropout_rates, np.float32)
+    if mesh is not None:
+        lrs, rates = jax.device_put((jnp.asarray(lrs), jnp.asarray(rates)), lane)
+    state = state.replace(lr=jnp.asarray(lrs))
+
+    statics = _fold_statics(cfg, len(train_sequences), len(val_sequences))
+    if not statics[1]:  # has_rate must hold: rates are a lane-mapped operand
+        raise ValueError("train_trials_device requires cfg.dropout_rate set")
+    key = ("trials",) + statics
+    fn = trainer._fold_cache.get(key)
+    if fn is None:
+        fn = trainer._fold_cache[key] = _build_device_fold_trials(trainer, statics)
+    final, th, vh, n_epochs = fn(state, rng, jnp.asarray(rates), *operands)
+
+    def _trim(host):
+        th_h, vh_h, n_h = host
+        out = []
+        for lane_i in range(k):
+            n = int(np.asarray(n_h)[lane_i])
+            out.append((
+                [float(v) for v in np.asarray(th_h)[lane_i, :n]],
+                [float(v) for v in np.asarray(vh_h)[lane_i, :n]],
+            ))
+        return out
+
+    return final, Deferred((th, vh, n_epochs), _trim)
 
 
 def train_model(

@@ -165,7 +165,13 @@ class TPESampler:
         # Draw candidates from the good mixture (prior included → exploration).
         comp = self.rng.randint(len(g_mus), size=self.n_candidates)
         cands = self.rng.normal(g_mus[comp], g_bws[comp])
-        cands = np.clip(cands, lo, hi)
+        # Out-of-domain draws resample uniformly in-bounds rather than hard
+        # clipping: clipping piles an atom at exactly lo/hi where the l/g
+        # ratio peaks whenever good and bad overlap, making every draw of a
+        # batch-ask round return the identical boundary point.
+        out = (cands < lo) | (cands > hi)
+        if out.any():
+            cands[out] = self.rng.uniform(lo, hi, size=int(out.sum()))
 
         score = self._log_mixture(cands, g_mus, g_bws) - self._log_mixture(
             cands, b_mus, b_bws
@@ -202,6 +208,7 @@ class Study:
         self.sampler = sampler or TPESampler(seed=seed)
         self.trials: List[Dict[str, Any]] = []
         self._spaces: Dict[str, Any] = {}
+        self._next_number = 0
 
     def _register(self, name: str, space) -> Any:
         existing = self._spaces.get(name)
@@ -221,6 +228,29 @@ class Study:
     def trials_completed(self) -> List[Dict[str, Any]]:
         return [t for t in self.trials if t["value"] is not None]
 
+    def ask(self) -> Trial:
+        """Draw a new trial from the current posterior without waiting for
+        its result — the dispatch half of an ask/tell (batch-parallel)
+        optimization loop. K consecutive asks sample K i.i.d. candidates
+        from the same good/bad split (the sampler's RandomState advances,
+        so they differ); :meth:`tell` folds results back in. This is what
+        lets the CV engines score a whole round of trials concurrently
+        across a device mesh instead of the reference's sequential
+        ``n_jobs=1`` loop (src/dl_cv_strategies.py:308-310)."""
+        trial = Trial(self, number=self._next_number)
+        self._next_number += 1
+        return trial
+
+    def tell(self, trial: Trial, raw_value: float) -> None:
+        """Record the objective value for a trial returned by :meth:`ask`."""
+        value = (
+            -float(raw_value) if self.direction == "maximize" else float(raw_value)
+        )
+        self.trials.append(
+            {"number": trial.number, "params": trial.params, "value": value,
+             "raw_value": float(raw_value)}
+        )
+
     def optimize(
         self,
         objective: Callable[[Trial], float],
@@ -228,14 +258,8 @@ class Study:
         callbacks: Optional[Sequence[Callable]] = None,
     ) -> None:
         for _ in range(n_trials):
-            trial = Trial(self, number=len(self.trials))
-            raw = objective(trial)
-            # Store internally as a minimization target.
-            value = -float(raw) if self.direction == "maximize" else float(raw)
-            self.trials.append(
-                {"number": trial.number, "params": trial.params, "value": value,
-                 "raw_value": float(raw)}
-            )
+            trial = self.ask()
+            self.tell(trial, objective(trial))
             for cb in callbacks or ():
                 cb(self, self.trials[-1])
 

@@ -1,0 +1,90 @@
+"""Resident-corpus budget derivation + allocation-failure downshift."""
+
+import logging
+
+import numpy as np
+
+from robust_speech_analysis_framework_tpu.eval import dl_cv
+from robust_speech_analysis_framework_tpu.train.loops import DeviceCorpus, SeqView
+
+
+def _toy_corpus(n=4, t=12, d=6):
+    rng = np.random.default_rng(0)
+    return [rng.normal(size=(t, d)).astype(np.float32) for _ in range(n)]
+
+
+def test_budget_derived_from_device_memory_stats(monkeypatch):
+    """Budget = bytes_limit/4 when the backend reports memory stats (TPU
+    does); the 4 GiB literal is only the no-stats (CPU) fallback."""
+    import jax
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30}
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [FakeDev()])
+    assert dl_cv._corpus_budget_bytes() == 4 << 30
+
+    class NoStatsDev:
+        def memory_stats(self):
+            return None
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [NoStatsDev()])
+    assert dl_cv._corpus_budget_bytes() == dl_cv._CORPUS_BUDGET_FALLBACK_BYTES
+
+
+def test_over_budget_corpus_streams_from_host(monkeypatch):
+    monkeypatch.setattr(dl_cv, "_corpus_budget_bytes", lambda: 1)
+    X = _toy_corpus()
+    out = dl_cv._as_device_corpus(X)
+    assert out is X  # untouched host list → streaming path
+
+
+def test_allocation_failure_downshifts_with_warning(monkeypatch, caplog):
+    """An XLA allocation/transfer failure (RuntimeError) downshifts to host
+    streaming with a logged warning; programming errors must propagate."""
+    from robust_speech_analysis_framework_tpu.train import loops
+
+    class ExplodingCorpus:
+        nbytes_estimate = staticmethod(DeviceCorpus.nbytes_estimate)
+
+        def __init__(self, *a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    monkeypatch.setattr(loops, "DeviceCorpus", ExplodingCorpus)
+    X = _toy_corpus()
+    with caplog.at_level(logging.WARNING):
+        out = dl_cv._as_device_corpus(X)
+    assert out is X
+    assert any("resident-corpus upload failed" in r.message for r in caplog.records)
+
+
+def test_programming_error_propagates(monkeypatch):
+    from robust_speech_analysis_framework_tpu.train import loops
+
+    class BuggyCorpus:
+        nbytes_estimate = staticmethod(DeviceCorpus.nbytes_estimate)
+
+        def __init__(self, *a, **k):
+            raise TypeError("bad argument")
+
+    monkeypatch.setattr(loops, "DeviceCorpus", BuggyCorpus)
+    try:
+        dl_cv._as_device_corpus(_toy_corpus())
+    except TypeError:
+        pass
+    else:
+        raise AssertionError("TypeError must not be swallowed")
+
+
+def test_device_corpus_roundtrip_and_view():
+    X = _toy_corpus(n=3, t=10, d=4)
+    corpus = DeviceCorpus(X, align=8)
+    view = corpus.view(np.arange(3))
+    assert isinstance(view, SeqView)
+    sub = view.subset(np.array([2, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(corpus.x[sub.idx[0], : len(X[2])]), X[2]
+    )
+    assert [len(sub[i]) for i in range(2)] == [len(X[2]), len(X[0])]
+    np.testing.assert_array_equal(sub[1], X[0])

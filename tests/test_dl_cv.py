@@ -89,6 +89,100 @@ def test_standard_kfold_contract(synthetic_participants):
     assert results_df["accuracy"].mean() > 0.7
 
 
+def test_train_trials_device_lane_parity():
+    """Lane i of a train_trials_device batch must reproduce a sequential
+    train_model run of trial i (same seed/arch, lr+dropout as lane inputs):
+    the batched path is a pure vmap, not a different algorithm."""
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import _TrainerCache
+    from robust_speech_analysis_framework_tpu.ops.framing import collect
+    from robust_speech_analysis_framework_tpu.train.loops import (
+        TrainConfig,
+        train_model,
+        train_trials_device,
+    )
+
+    rng = np.random.default_rng(3)
+    X = [rng.normal(size=(int(rng.integers(16, 40)), 10)).astype(np.float32)
+         for _ in range(12)]
+    y = np.array([0, 1] * 6)
+    cache = _TrainerCache(input_dim=10)
+    hp = {"cnn_out_channels": 8, "lstm_hidden_dim": 8, "activation_fn": "silu"}
+    trainer = cache.get(hp)
+    lrs, rates = [1e-3, 5e-3], [0.0, 0.0]
+    cfg = TrainConfig(
+        learning_rate=lrs[0], epochs=3, patience=4, batch_size=4, seed=7,
+        dropout_rate=0.0, use_plateau=False, restore_best=False,
+    )
+    states, hist_def = train_trials_device(
+        trainer, X[:8], y[:8], X[8:], y[8:], cfg, lrs, rates
+    )
+    assert states.lr.shape == (2,)
+    hists = collect([hist_def])[0]
+    for lane, lr in enumerate(lrs):
+        cfg_i = TrainConfig(
+            learning_rate=lr, epochs=3, patience=4, batch_size=4, seed=7,
+            dropout_rate=0.0, use_plateau=False, restore_best=False,
+        )
+        _, th, vh = train_model(trainer, X[:8], y[:8], X[8:], y[8:], cfg_i)
+        np.testing.assert_allclose(hists[lane][0], th, rtol=3e-4, atol=1e-5)
+        np.testing.assert_allclose(hists[lane][1], vh, rtol=3e-4, atol=1e-5)
+
+
+def test_batched_inner_cv_scores_match_sequential():
+    """_inner_cv_scores_batch (lane-vmapped trials, one collect) must score
+    each trial identically to the sequential _inner_cv_score loop — the
+    reference's per-trial semantics (src/dl_cv_strategies.py:197-254) are
+    preserved; only the dispatch is batched."""
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        _TrainerCache,
+        _inner_cv_score,
+        _inner_cv_scores_batch,
+    )
+
+    rng = np.random.default_rng(1)
+    X = [rng.normal(size=(int(rng.integers(16, 40)), 10)).astype(np.float32)
+         for _ in range(12)]
+    y = np.array([0, 1] * 6)
+    cache = _TrainerCache(input_dim=10)
+    hp = {"cnn_out_channels": 8, "lstm_hidden_dim": 8, "activation_fn": "silu"}
+    plist = [
+        {"learning_rate": 1e-3, "dropout_rate": 0.2, **hp},
+        {"learning_rate": 3e-3, "dropout_rate": 0.3, **hp},
+        {"learning_rate": 5e-3, "dropout_rate": 0.25, **hp},
+    ]
+    batched = _inner_cv_scores_batch(cache, plist, X, y, 2, 2, 4, 42)
+    sequential = [_inner_cv_score(cache, p, X, y, 2, 2, 4, 42) for p in plist]
+    np.testing.assert_allclose(batched, sequential, atol=1e-6)
+
+
+def test_nested_cv_trial_batch_mesh_matches_single_device(synthetic_participants):
+    """The batched (ask-K) nested-CV search under the 8-device mesh must
+    pick the same best params as the same batched search on one device:
+    sharding the trial lanes across chips changes placement, not results."""
+    from robust_speech_analysis_framework_tpu.parallel import make_mesh
+
+    seqs, meta = synthetic_participants
+    space = {
+        "learning_rate": ("float_log", 1e-3, 5e-3),
+        "dropout_rate": ("float", 0.2, 0.3),
+        "cnn_out_channels": ("categorical", [8]),
+        "lstm_hidden_dim": ("categorical", [8]),
+        "activation_fn": ("categorical", ["silu"]),
+    }
+    kwargs = dict(
+        n_splits_outer=2, n_splits_inner=2, n_trials=4, epochs=2,
+        patience=3, batch_size=4, inner_epochs=2, search_space=space,
+        trial_batch=4,
+    )
+    res_mesh, _, _ = run_dl_nested_cv(seqs, meta, mesh=make_mesh(8, mp=1), **kwargs)
+    res_one, _, _ = run_dl_nested_cv(seqs, meta, **kwargs)
+    for a, b in zip(res_mesh["best_params"], res_one["best_params"]):
+        assert a == b
+    np.testing.assert_allclose(
+        res_mesh["f1_score"].to_numpy(), res_one["f1_score"].to_numpy(), atol=1e-6
+    )
+
+
 def test_nested_cv_contract(synthetic_participants):
     seqs, meta = synthetic_participants
     space = {

@@ -80,6 +80,53 @@ def test_log_scale_sampling_spans_decades():
     assert logs.min() < -3.5 and logs.max() > -2.0
 
 
+def test_ask_tell_matches_optimize():
+    """Driving a study via ask/tell one trial at a time must reproduce
+    optimize() exactly: same sampled params, same best trial. This is the
+    contract the batch-parallel CV loop relies on (it asks K, scores them
+    concurrently, tells K back)."""
+
+    def value(params):
+        return -((params["x"] - 1.0) ** 2) + params["c"]
+
+    a = Study(direction="maximize", sampler=TPESampler(seed=3, n_startup_trials=5))
+
+    def objective(trial):
+        return value({
+            "x": trial.suggest_float("x", -4.0, 4.0),
+            "c": trial.suggest_categorical("c", [0, 1]),
+        })
+
+    a.optimize(objective, n_trials=20)
+
+    b = Study(direction="maximize", sampler=TPESampler(seed=3, n_startup_trials=5))
+    for _ in range(20):
+        t = b.ask()
+        t.suggest_float("x", -4.0, 4.0)
+        t.suggest_categorical("c", [0, 1])
+        b.tell(t, value(t.params))
+
+    assert [t["params"] for t in a.trials] == [t["params"] for t in b.trials]
+    assert a.best_params == b.best_params
+
+
+def test_ask_batch_draws_distinct_candidates():
+    """K consecutive asks sample K distinct candidates from the same
+    posterior; telling them as a batch advances the search."""
+    study = Study(direction="minimize", sampler=TPESampler(seed=4, n_startup_trials=4))
+    for _ in range(4):  # 2 rounds of 4
+        batch = [study.ask() for _ in range(4)]
+        xs = [t.suggest_float("x", -5.0, 5.0) for t in batch]
+        assert len(set(xs)) == len(xs)  # i.i.d. draws, RandomState advances
+        for t, x in zip(batch, xs):
+            study.tell(t, (x - 2.0) ** 2)
+    assert len(study.trials_completed) == 16
+    assert [t["number"] for t in study.trials] == list(range(16))
+    assert study.best_trial["raw_value"] == min(
+        t["raw_value"] for t in study.trials
+    )
+
+
 def test_direction_validation():
     with pytest.raises(ValueError):
         Study(direction="sideways")
