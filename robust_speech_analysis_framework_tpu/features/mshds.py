@@ -675,14 +675,48 @@ def extract_mshds_batch(
     sr: float = 16000,
     n_workers: int = 4,
     verbose: bool = True,
+    devices=None,
 ) -> pd.DataFrame:
     """Corpus-batched MSHDS extraction over pre-decoded waveforms (same
-    staged pipeline as :func:`extract_mshds_features`)."""
+    staged pipeline as :func:`extract_mshds_features`).
+
+    ``devices`` (a list of ``jax.Device``) partitions the corpus into one
+    sub-corpus per device and runs each through the staged pipeline on its
+    own chip from its own host thread — the MSHDS multi-chip scaling axis.
+    Unlike the openSMILE (B, L) bucket stacks, this pipeline works on ONE
+    concatenated corpus buffer with host decisions between levels, so the
+    natural partition is by file group, not by batch-axis sharding; per-file
+    results match the single-device run to float precision (the same
+    per-file programs run, only the corpus-buffer grouping and placement
+    differ). Replaces the reference's serial per-file Praat loop
+    (src/mshds_extractor.py:408) at corpus scale."""
     names = list(waveforms.keys())
     xs = [np.asarray(waveforms[n], dtype=np.float64).reshape(-1) for n in names]
     if not names:
         return pd.DataFrame(columns=["filename"] + FEATURE_NAMES)
-    feats = _extract_corpus(xs, sr, verbose=verbose)
+    if devices is not None and len(devices) > 1 and len(names) > 1:
+        import concurrent.futures
+
+        import jax
+
+        n_groups = min(len(devices), len(names))
+        group_idx = [
+            list(range(g, len(names), n_groups)) for g in range(n_groups)
+        ]
+
+        def run_group(g: int):
+            with jax.default_device(devices[g]):
+                return _extract_corpus(
+                    [xs[i] for i in group_idx[g]], sr, verbose=False
+                )
+
+        feats: list = [None] * len(names)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=n_groups) as pool:
+            for g, group_feats in enumerate(pool.map(run_group, range(n_groups))):
+                for i, f in zip(group_idx[g], group_feats):
+                    feats[i] = f
+    else:
+        feats = _extract_corpus(xs, sr, verbose=verbose)
     return pd.DataFrame([
         {"filename": name,
          **{k: feats[i].get(k, float("nan")) for k in FEATURE_NAMES}}

@@ -275,7 +275,10 @@ class OpenSmileExtractor:
         return _functional_vec(np.asarray(f_sma), np.asarray(f_de))
 
     def extract_batch(
-        self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
+        self,
+        waveforms: Mapping[str, np.ndarray],
+        verbose: bool = True,
+        mesh=None,
     ) -> pd.DataFrame:
         """Corpus-batched extraction: files grouped by length bucket, each
         group stacked and pushed through vmapped stages as ONE program per
@@ -287,6 +290,13 @@ class OpenSmileExtractor:
         device programs overlap bucket k's functional download — on a
         high-RTT link the per-bucket round trip would otherwise serialize
         a ragged corpus (real corpora spread over many length buckets).
+
+        With ``mesh`` every bucket stack is sharded over the mesh's ``dp``
+        axis (padded with silent rows to a dp multiple; pad rows never
+        reach the output), so each vmapped stage partitions file-parallel
+        across chips — the multi-chip scaling axis for corpus extraction
+        (SURVEY §2.5: batch-of-files data parallelism replacing the
+        reference's serial subprocess loop, src/opensmile_extractor.py:54-75).
         """
         from ..audio.frontend import num_frames
         from ..ops.bucketing import bucket_size
@@ -294,6 +304,13 @@ class OpenSmileExtractor:
 
         cfg = self.config.frontend
         cols = feature_columns(self.config.reference_compat)
+
+        dp, sharding = 1, None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dp = int(dict(mesh.shape).get("dp", 1))
+            sharding = NamedSharding(mesh, PartitionSpec("dp", None))
 
         groups: Dict[int, List[Tuple[str, np.ndarray]]] = {}
         for name, x in waveforms.items():
@@ -313,13 +330,22 @@ class OpenSmileExtractor:
 
         def prepare(bucket, items):
             names = [n for n, _ in items]
+            if dp > 1 and len(items) % dp:
+                # silent pad rows make the batch axis dp-divisible so the
+                # stack can shard; one frame of zeros each, rows discarded
+                # by _rows_from_functionals (which walks real names only)
+                items = items + [
+                    ("", np.zeros(cfg.frame_len, np.float32))
+                ] * (-len(items) % dp)
             stack = np.zeros((len(items), bucket), np.float32)
             n_frames_true = np.zeros(len(items), np.int64)
             for i, (_, x) in enumerate(items):
                 stack[i, : len(x)] = x
                 n_frames_true[i] = num_frames(len(x), cfg.frame_len, cfg.hop)
             try:
-                devs = self._dispatch_bucket(items, names, stack, n_frames_true)
+                devs = self._dispatch_bucket(
+                    items, names, stack, n_frames_true, sharding=sharding
+                )
             except Exception:
                 devs = None  # fall through to the synchronous retry path
             return bucket, items, names, stack, n_frames_true, devs
@@ -366,7 +392,8 @@ class OpenSmileExtractor:
             return pd.DataFrame()
         return pd.DataFrame(rows)
 
-    def _dispatch_bucket(self, items, names, stack, n_frames_true):
+    def _dispatch_bucket(self, items, names, stack, n_frames_true,
+                         sharding=None):
         """One bucket group through all device stages -> device functionals.
 
         Device-resident pipeline: framing/MFCC/spectral LLDs, SHS+Viterbi
@@ -385,8 +412,10 @@ class OpenSmileExtractor:
 
         cfg = self.config.frontend
         # ONE upload, shared with the march; int16 over the tunnel when the
-        # audio is 16-bit-PCM-derived (half the bytes, bit-identical).
-        stack_j = upload_pcm_f32(stack)
+        # audio is 16-bit-PCM-derived (half the bytes, bit-identical). A
+        # batch-axis sharding partitions every downstream vmapped stage
+        # file-parallel across the mesh.
+        stack_j = upload_pcm_f32(stack, sharding=sharding)
         mag, mfcc, energy, zcr, inten, spect, vpow = self._frame_stage_batch(
             stack_j
         )

@@ -177,20 +177,28 @@ def _dequant_i16(i16):
     return i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
 
-def upload_pcm_f32(a: np.ndarray) -> jnp.ndarray:
+def upload_pcm_f32(a: np.ndarray, sharding=None) -> jnp.ndarray:
     """Upload a float32 array over the tunnel at half the bytes when it is
     losslessly int16-quantized (16-bit-PCM-derived audio: every sample is
     n/32768 exactly), dequantizing on device. Falls back to a plain f32
     upload otherwise. Bit-identical either way (2^-15 scaling is exact in
-    f32). Same trick as :func:`corpus_buffer`, for stacked batch shapes."""
+    f32). Same trick as :func:`corpus_buffer`, for stacked batch shapes.
+
+    ``sharding`` places the upload (e.g. batch-axis over a mesh's dp axis
+    so each chip receives only its shard); the int16 path uploads the
+    quantized buffer with that sharding and dequantizes shard-local."""
+    import jax
+
+    put = (lambda v: jax.device_put(v, sharding)) if sharding is not None \
+        else jnp.asarray
     a = np.ascontiguousarray(a, np.float32)
     q = a * 32768.0
     qi = np.round(q)
     if a.size and abs(float(qi.max(initial=0.0))) <= 32767 \
             and abs(float(qi.min(initial=0.0))) <= 32768 \
             and bool((q == qi).all()):
-        return _dequant_i16(jnp.asarray(qi.astype(np.int16)))
-    return jnp.asarray(a)
+        return _dequant_i16(put(qi.astype(np.int16)))
+    return put(a)
 
 
 class _LengthOnly(np.ndarray):

@@ -103,6 +103,73 @@ def test_sharded_opensmile_frame_stage_matches_single_device():
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-5)
 
 
+def test_opensmile_extract_batch_sharded_matches_single_device():
+    """END-TO-END: the full 912-column extract_batch with a dp-sharded
+    mesh must equal the single-device run — bucket stacks shard on the
+    file axis (incl. silent-row padding to a dp multiple) and every
+    vmapped stage partitions across the 8 virtual chips."""
+    from robust_speech_analysis_framework_tpu.features.opensmile import (
+        OpenSmileExtractor,
+    )
+
+    ex = OpenSmileExtractor()
+    rng = np.random.default_rng(7)
+    sr = 16000
+    waves = {}
+    for i in range(10):  # 10 files, two length buckets, 10 % dp != 0
+        n = sr // 2 + (sr // 4) * (i % 2)
+        t = np.arange(n) / sr
+        waves[f"f{i}.wav"] = (
+            0.3 * np.sin(2 * np.pi * (110 + 13 * i) * t)
+            + 0.01 * rng.normal(size=n)
+        ).astype(np.float32)
+
+    ref = ex.extract_batch(waves, verbose=False)
+    mesh = make_mesh(8, mp=1)
+    got = ex.extract_batch(waves, verbose=False, mesh=mesh)
+    assert list(got["filename"]) == list(ref["filename"])
+    ref_vals = ref.drop(columns="filename").to_numpy(float)
+    got_vals = got.drop(columns="filename").to_numpy(float)
+    # dp padding changes the bucket batch shape (5 -> 8), so XLA chooses
+    # different fusion/reduction layouts: last-ulp f32 differences get
+    # amplified by the regression functionals. Observed max ~1.7e-4
+    # relative on 0.35% of the 9120 values; pin slightly above that.
+    np.testing.assert_allclose(got_vals, ref_vals, rtol=5e-4, atol=1e-5)
+
+
+def test_mshds_extract_batch_multi_device_matches_single_device():
+    """END-TO-END: extract_mshds_batch partitioned across the 8 virtual
+    devices (one sub-corpus pipeline per chip, threaded) must reproduce
+    the single-device run bit-for-bit — each file runs the identical
+    per-file programs, only placement differs."""
+    import jax
+
+    from robust_speech_analysis_framework_tpu.features.mshds import (
+        extract_mshds_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    waves = {}
+    for i in range(6):
+        n = sr + (sr // 8) * i
+        t = np.arange(n) / sr
+        waves[f"m{i}.wav"] = (
+            0.4 * np.sin(2 * np.pi * (120 + 17 * i) * t)
+            + 0.01 * rng.normal(size=n)
+        ).astype(np.float64)
+
+    ref = extract_mshds_batch(waves, sr=sr, verbose=False)
+    got = extract_mshds_batch(waves, sr=sr, verbose=False, devices=jax.devices())
+    assert list(got["filename"]) == list(ref["filename"])
+    r = ref.drop(columns="filename").to_numpy(float)
+    g = got.drop(columns="filename").to_numpy(float)
+    np.testing.assert_array_equal(np.isnan(g), np.isnan(r))
+    np.testing.assert_allclose(
+        np.nan_to_num(g), np.nan_to_num(r), rtol=1e-7, atol=0
+    )
+
+
 def test_sharded_mshds_pitch_batch_matches_single_device():
     """MSHDS batched pitch (the heaviest extraction pass) under a dp
     sharding must equal the single-device result."""
