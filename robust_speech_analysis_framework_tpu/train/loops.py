@@ -778,6 +778,17 @@ def _fold_operands(
     )
 
 
+def _operand_devices(operands) -> int:
+    """Max device count any operand is committed to — part of the fold
+    cache key, since exported programs bake the device assignment in."""
+    n = 1
+    for o in operands:
+        sharding = getattr(o, "sharding", None)
+        if sharding is not None:
+            n = max(n, len(getattr(sharding, "device_set", ())))
+    return n
+
+
 def _train_model_device(
     trainer, train_sequences, train_labels, val_sequences, val_labels, cfg,
     state, rng, defer_histories: bool = False,
@@ -787,10 +798,25 @@ def _train_model_device(
         train_sequences, train_labels, val_sequences, val_labels, cfg
     )
     statics = _fold_statics(cfg, len(train_sequences), len(val_sequences))
-    fn = trainer._fold_cache.get(statics)
-    if fn is None:
-        fn = trainer._fold_cache[statics] = _build_device_fold(trainer, statics)
     rate = jnp.float32(cfg.dropout_rate if cfg.dropout_rate is not None else 0.0)
+    # exported programs are fixed-shape (unlike jit, which re-specializes),
+    # so the cache key carries the operand shapes: a SeqView fold (gathers
+    # from the whole corpus buffer) and a host-list fold of the same sizes
+    # are different programs
+    mem_key = (statics, tuple(tuple(jnp.shape(o)) for o in operands),
+               _operand_devices(operands))
+    fn = trainer._fold_cache.get(mem_key)
+    if fn is None:
+        # disk-backed jax.export artifact: a fresh process deserializes the
+        # traced program in ms instead of re-tracing the epoch while_loop
+        # pyramid (the measured first-pass wall of a CV round)
+        from .aot_cache import fold_cache_key, load_or_export
+
+        args = (state, rng, rate) + operands
+        key = fold_cache_key(repr(trainer.model), statics, args)
+        fn = trainer._fold_cache[mem_key] = load_or_export(
+            lambda: _build_device_fold(trainer, statics), key, args
+        )
     final, th, vh, n_epochs = fn(state, rng, rate, *operands)
 
     def _trim(host):
@@ -889,10 +915,25 @@ def train_trials_device(
     statics = _fold_statics(cfg, len(train_sequences), len(val_sequences))
     if not statics[1]:  # has_rate must hold: rates are a lane-mapped operand
         raise ValueError("train_trials_device requires cfg.dropout_rate set")
-    key = ("trials",) + statics
+    key = ("trials", k, statics,
+           tuple(tuple(jnp.shape(o)) for o in operands),
+           _operand_devices(operands))
     fn = trainer._fold_cache.get(key)
     if fn is None:
-        fn = trainer._fold_cache[key] = _build_device_fold_trials(trainer, statics)
+        if mesh is None:
+            # single-chip trial batches reuse the disk-backed export cache
+            # (sharded programs bake placements in, so mesh runs trace live)
+            from .aot_cache import fold_cache_key, load_or_export
+
+            args = (state, rng, jnp.asarray(rates)) + operands
+            disk_key = fold_cache_key(repr(trainer.model), key, args)
+            fn = load_or_export(
+                lambda: _build_device_fold_trials(trainer, statics),
+                disk_key, args, tag="trials",
+            )
+        else:
+            fn = _build_device_fold_trials(trainer, statics)
+        trainer._fold_cache[key] = fn
     final, th, vh, n_epochs = fn(state, rng, jnp.asarray(rates), *operands)
 
     def _trim(host):
