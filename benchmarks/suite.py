@@ -207,6 +207,12 @@ def bench_cv(quick: bool) -> dict:
     t0 = time.perf_counter()
     run_svm_standard_kfold_cv(X, y, n_features_to_select=50)
     svm_dt = time.perf_counter() - t0
+    # steady state: on an accelerator backend the batched device SMO's
+    # one-off jit compile is out of the way — this is what a sweep of 18
+    # experiments actually runs at
+    t0 = time.perf_counter()
+    run_svm_standard_kfold_cv(X, y, n_features_to_select=50)
+    svm_dt2 = time.perf_counter() - t0
 
     seqs, rows = {}, []
     for i in range(20):
@@ -246,6 +252,7 @@ def bench_cv(quick: bool) -> dict:
     _inner_cv_score(cache, hp, Xc, yv, 3, inner_epochs, 4, 42)
     trial_dt = time.perf_counter() - t0
     return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt,
+            "svm_standard_5fold_steady_seconds": svm_dt2,
             "dl_3fold_steady_seconds": dl_dt2,
             "dl_tuning_trial_seconds": trial_dt}
 
@@ -320,16 +327,15 @@ def _attach_ratio(name: str, result: dict, baselines: dict) -> None:
                         "dl_tuning_trial_seconds"):
                 if key in result and base.get(key):
                     result[f"vs_baseline_{key}"] = base[key] / result[key]
-            if result.get("dl_3fold_steady_seconds"):
+            for stage in ("dl_3fold", "svm_standard_5fold"):
                 # steady-vs-steady when the baseline recorded one, else the
                 # baseline's first pass (older baselines.json files)
-                base_steady = base.get("dl_3fold_steady_seconds") or base.get(
-                    "dl_3fold_seconds"
+                ours = result.get(f"{stage}_steady_seconds")
+                base_steady = base.get(f"{stage}_steady_seconds") or base.get(
+                    f"{stage}_seconds"
                 )
-                if base_steady:
-                    result["vs_baseline_dl_3fold_steady"] = (
-                        base_steady / result["dl_3fold_steady_seconds"]
-                    )
+                if ours and base_steady:
+                    result[f"vs_baseline_{stage}_steady"] = base_steady / ours
             result["baseline_impl"] = base.get("impl", "jax-cpu")
     except Exception:
         pass

@@ -77,6 +77,49 @@ def test_standard_cv_close_to_sklearn_replica(data):
     assert abs(ours["f1_score"].mean() - np.mean(f1s)) < 0.08
 
 
+def test_standard_cv_device_solver_matches_host(data):
+    """The batched device SMO path (every fold + calibration fit as one
+    vmapped program) must reproduce the sequential f64 host path: same
+    selected features, same predictions, probabilities within f32 solver
+    tolerance."""
+    X, y = data
+    host_df, host_preds = run_svm_standard_kfold_cv(
+        X, y, n_splits=5, n_features_to_select=10, device=False
+    )
+    dev_df, dev_preds = run_svm_standard_kfold_cv(
+        X, y, n_splits=5, n_features_to_select=10, device=True
+    )
+    for col in ("accuracy", "f1_score", "precision", "recall"):
+        np.testing.assert_allclose(
+            dev_df[col].to_numpy(), host_df[col].to_numpy(), atol=1e-9
+        )
+    np.testing.assert_allclose(
+        dev_df["auc"].to_numpy(), host_df["auc"].to_numpy(), atol=1e-6
+    )
+    assert list(dev_df["selected_features"]) == list(host_df["selected_features"])
+    for hp, dp in zip(host_preds, dev_preds):
+        np.testing.assert_array_equal(hp["y_true"], dp["y_true"])
+        np.testing.assert_allclose(hp["y_prob"], dp["y_prob"], atol=2e-4)
+
+
+def test_nested_cv_device_solver_matches_host(data):
+    """Nested grid: phase-A (75-lane grid solve) + phase-B (best-k refits)
+    must pick the same best k per fold and match the host metrics."""
+    X, y = data
+    host_df, _ = run_svm_nested_kfold_cv(
+        X, y, n_splits_outer=3, n_splits_inner=3, device=False
+    )
+    dev_df, _ = run_svm_nested_kfold_cv(
+        X, y, n_splits_outer=3, n_splits_inner=3, device=True
+    )
+    assert list(dev_df["best_k_found"]) == list(host_df["best_k_found"])
+    assert list(dev_df["selected_features"]) == list(host_df["selected_features"])
+    for col in ("accuracy", "f1_score", "precision", "recall"):
+        np.testing.assert_allclose(
+            dev_df[col].to_numpy(), host_df[col].to_numpy(), atol=1e-9
+        )
+
+
 def test_nested_cv_contract(data):
     X, y = data
     df, preds = run_svm_nested_kfold_cv(X, y, n_splits_outer=3, n_splits_inner=2)
