@@ -120,7 +120,13 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        strict = Wav2Vec2Extractor(batch_size=16, allow_random_init=True)
+        # int16 upload is BIT-EXACT for 16-bit-PCM-derived audio (every
+        # corpus WAV, and _speech's lattice-quantized synthesis): the
+        # strict path keeps f32 compute + f32 download and still halves
+        # its host→device stream
+        strict = Wav2Vec2Extractor(
+            batch_size=16, allow_random_init=True, upload_dtype=np.int16
+        )
     fast = Wav2Vec2Extractor(
         params=strict.params, batch_size=16, compute_dtype="bfloat16",
         sequence_transfer_dtype=np.float16, upload_dtype=np.int16,
@@ -129,6 +135,13 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
         params=strict.params, batch_size=16, compute_dtype="bfloat16",
         sequence_transfer_dtype=np.int8, upload_dtype=np.int16,
     )
+    # f32 compute + per-frame int16-quantized download: frame-scale
+    # relative error ~3e-5 (inside the ≤1e-4 contract — bf16 compute is
+    # NOT: measured ~1% Frobenius) at half the f32 download bytes
+    exact16 = Wav2Vec2Extractor(
+        params=strict.params, batch_size=16,
+        sequence_transfer_dtype=np.int16, upload_dtype=np.int16,
+    )
     warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
     # 3x the shared file count: at 5 s chunks/16-chunk batches the other
     # stages' corpus is only ~2 batches, which measures ramp, not the
@@ -136,27 +149,69 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
     n_files = 3 * n_files
     waves = {f"f{i}.wav": _speech(seconds, 120 + 10 * i, i) for i in range(n_files)}
     out = {"audio_seconds": n_files * seconds}
+
+    # Accuracy of the reduced-transfer presets against the BASELINE.md
+    # contract ("<=1e-4 relative feature error"): measured against the
+    # strict-f32 path on real bench audio, as (a) max elementwise
+    # |Δ|/max(|strict|, 1e-3·scale) — floored so near-zero features don't
+    # report meaningless ratios — and (b) Frobenius-norm relative error.
+    probe = {k: waves[k] for k in list(waves)[:2]}
+    ref_seq = strict.extract_sequences(probe, verbose=False)
     for label, ex in (
-        ("strict_f32", strict), ("fast", fast), ("fastest", fastest)
+        ("fast", fast), ("fastest", fastest), ("exact16", exact16)
+    ):
+        max_rel = fro_rel = 0.0
+        for name, r in ref_seq.items():
+            a = ex.extract_sequences({name: probe[name]}, verbose=False)[name]
+            floor = 1e-3 * float(np.max(np.abs(r)))
+            max_rel = max(max_rel, float(np.max(
+                np.abs(a - r) / np.maximum(np.abs(r), floor)
+            )))
+            fro_rel = max(fro_rel, float(
+                np.linalg.norm(a - r) / np.linalg.norm(r)
+            ))
+        out[f"{label}_max_rel_error"] = max_rel
+        out[f"{label}_fro_rel_error"] = fro_rel
+    for label, ex in (
+        ("strict_f32", strict), ("fast", fast), ("fastest", fastest),
+        ("exact16", exact16),
     ):
         ex.extract_sequences(warm, verbose=False)  # compile
-        if label != "fastest":  # pooled path is identical to 'fast'
+        if label in ("strict_f32", "fast"):  # pooled path: f32 vs bf16 only
             ex.extract_embeddings(warm, verbose=False)
         t0 = time.perf_counter()
         ex.extract_sequences(waves, verbose=False)
         dt = time.perf_counter() - t0
         out[f"{label}_audio_sec_per_sec"] = n_files * seconds / dt
-        if label != "fastest":
+        if label in ("strict_f32", "fast"):
             t0 = time.perf_counter()
             ex.extract_embeddings(waves, verbose=False)
             dt_emb = time.perf_counter() - t0
             out[f"{label}_embeddings_audio_sec_per_sec"] = (
                 n_files * seconds / dt_emb
             )
-    # headline sequence number: the fastest lossy-transfer mode (int8,
-    # cosine >0.9999); strict/fast reported alongside
-    out["wall_seconds"] = n_files * seconds / out["fastest_audio_sec_per_sec"]
-    out["audio_sec_per_sec"] = out["fastest_audio_sec_per_sec"]
+    # headline sequence number: the best MEASURED configuration on this
+    # link (int8 halves the bytes but has been observed slower than f16 —
+    # transfer-path behavior is rig-dependent), with its measured error
+    # attached; strict/fast/fastest all reported alongside
+    best = max(
+        ("strict_f32", "fast", "fastest", "exact16"),
+        key=lambda l: out[f"{l}_audio_sec_per_sec"],
+    )
+    out["headline_preset"] = best
+    out["headline_max_rel_error"] = out.get(f"{best}_max_rel_error", 0.0)
+    out["audio_sec_per_sec"] = out[f"{best}_audio_sec_per_sec"]
+    out["wall_seconds"] = n_files * seconds / out["audio_sec_per_sec"]
+    # north-star contract number: the fastest preset whose measured
+    # Frobenius relative error vs strict f32 is ≤1e-4
+    contract = [
+        l for l in ("fast", "fastest", "exact16")
+        if out.get(f"{l}_fro_rel_error", 1.0) <= 1e-4
+    ]
+    out["contract_audio_sec_per_sec"] = max(
+        [out["strict_f32_audio_sec_per_sec"]]
+        + [out[f"{l}_audio_sec_per_sec"] for l in contract]
+    )
     out["embeddings_audio_sec_per_sec"] = out["fast_embeddings_audio_sec_per_sec"]
     return out
 

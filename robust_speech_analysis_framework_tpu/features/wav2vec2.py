@@ -147,11 +147,12 @@ class Wav2Vec2Extractor:
         self.mesh = mesh
 
         seq_dt = jnp.dtype(self.sequence_transfer_dtype)
-        int8_seq = seq_dt == jnp.dtype(jnp.int8)
-        if not int8_seq and not jnp.issubdtype(seq_dt, jnp.floating):
+        int_seq = seq_dt in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+        if not int_seq and not jnp.issubdtype(seq_dt, jnp.floating):
             raise ValueError(
                 f"unsupported sequence_transfer_dtype {seq_dt}: use a float "
-                "dtype or np.int8 (per-frame max-abs quantized transfer)"
+                "dtype, np.int8, or np.int16 (per-frame max-abs quantized "
+                "transfer)"
             )
         dequant = self.upload_dtype == np.int16
 
@@ -161,13 +162,21 @@ class Wav2Vec2Extractor:
 
         def fwd(p, wav, lengths):
             hidden, out_lens = self.model.apply(p, _dec(wav), lengths=lengths)
-            if int8_seq:
-                # quantize ON DEVICE so only int8 values + one f16 scale per
+            if int_seq:
+                # quantize ON DEVICE so only intN values + one scale per
                 # frame cross the link; |hidden| <= scale so the rounded
-                # values stay within ±127 without clipping
+                # values stay within ±qmax without clipping. int16 with f32
+                # compute keeps the frame-scale-relative error at ~3e-5 —
+                # inside the ≤1e-4 feature-error contract — at half the
+                # f32 download bytes; int8 halves again at ~7e-3 RMS.
+                qmax = 127.0 if seq_dt == jnp.dtype(jnp.int8) else 32767.0
+                scale_dt = (
+                    jnp.float16 if seq_dt == jnp.dtype(jnp.int8)
+                    else jnp.float32
+                )
                 scale = jnp.maximum(jnp.max(jnp.abs(hidden), axis=-1), 1e-12)
-                q = jnp.round(hidden / scale[..., None] * 127.0)
-                return (q.astype(jnp.int8), scale.astype(jnp.float16)), out_lens
+                q = jnp.round(hidden / scale[..., None] * qmax)
+                return (q.astype(seq_dt), scale.astype(scale_dt)), out_lens
             return hidden.astype(seq_dt), out_lens
 
         def fwd_pooled(p, wav, lengths):
@@ -198,7 +207,7 @@ class Wav2Vec2Extractor:
             len_sh = batch_sharding(mesh, ndim=1)
             hidden_sh = (
                 (batch_sharding(mesh, ndim=3), batch_sharding(mesh, ndim=2))
-                if int8_seq else batch_sharding(mesh, ndim=3)
+                if int_seq else batch_sharding(mesh, ndim=3)
             )
             self._forward = jax.jit(
                 fwd,
@@ -247,11 +256,11 @@ class Wav2Vec2Extractor:
         for sel, payload, out_lens in self._run_batches(
             chunk_data, self._forward
         ):
-            if isinstance(payload, tuple):  # int8 transfer: (values, scales)
+            if isinstance(payload, tuple):  # intN transfer: (values, scales)
                 q, scale = payload
-                hidden = q.astype(np.float32) * (
-                    scale.astype(np.float32) / 127.0
-                )[..., None]
+                qmax = 127.0 if q.dtype == np.int8 else 32767.0
+                hidden = q.astype(np.float32)
+                hidden *= (scale.astype(np.float32) / qmax)[..., None]
             else:
                 hidden = payload
             for j, i in enumerate(sel):

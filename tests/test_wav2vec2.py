@@ -226,6 +226,35 @@ def test_reduced_precision_fast_path_close_to_f32():
     np.testing.assert_allclose(ours, theirs, atol=0.05, rtol=0.05)
 
 
+def test_int16_sequence_transfer_meets_contract():
+    """int16 per-frame quantized sequence download ('exact16' preset's
+    transfer): with f32 compute the only error is the 1/32767-of-frame-max
+    quantization — Frobenius relative error must sit inside the north-star
+    <=1e-4 feature-error contract (BASELINE.md), unlike the bf16-compute
+    presets (~1% measured)."""
+    cfg = Wav2Vec2Config(num_layers=2)
+    rng = np.random.default_rng(13)
+    sr = 16000
+    waves = {
+        "a.wav": rng.normal(size=sr).astype(np.float32) * 0.1,
+        "b.wav": rng.normal(size=2 * sr).astype(np.float32) * 0.05,
+    }
+    base = Wav2Vec2Extractor(config=cfg, batch_size=4, allow_random_init=True)
+    q16 = Wav2Vec2Extractor(
+        params=base.params, config=cfg, batch_size=4,
+        sequence_transfer_dtype=np.int16,
+    )
+    for name in waves:
+        a = base.extract_sequences(waves, verbose=False)[name]
+        b = q16.extract_sequences(waves, verbose=False)[name]
+        assert b.dtype == np.float32 and a.shape == b.shape
+        fro = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert fro <= 1e-4, fro
+        fmax = np.abs(a).max(axis=1, keepdims=True)
+        # half a quantization step + f32 arithmetic rounding slack
+        assert (np.abs(a - b) <= fmax * (1.0 / 65534.0 + 2e-6) + 1e-9).all()
+
+
 def test_int8_sequence_transfer_close_to_f32():
     """int8 per-frame max-abs quantized sequence download ('fastest'
     preset's transfer): values dequantize on host to within ~0.5% of the
