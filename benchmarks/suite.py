@@ -306,10 +306,36 @@ def bench_cv(quick: bool) -> dict:
     t0 = time.perf_counter()
     _inner_cv_score(cache, hp, Xc, yv, 3, inner_epochs, 4, 42)
     trial_dt = time.perf_counter() - t0
+
+    # A whole ask-8 round of same-architecture trials as lane-vmapped fold
+    # programs (the reference runs all trials strictly sequentially,
+    # src/dl_cv_strategies.py:308-310) vs the same 8 trials one at a time.
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        _inner_cv_scores_batch,
+    )
+
+    trng = np.random.default_rng(7)
+    plist = [
+        dict(hp, learning_rate=float(10 ** trng.uniform(-5, -3)),
+             dropout_rate=float(trng.uniform(0.2, 0.5)))
+        for _ in range(8)
+    ]
+    _inner_cv_scores_batch(cache, plist, Xc, yv, 3, inner_epochs, 4, 42)
+    t0 = time.perf_counter()
+    _inner_cv_scores_batch(cache, plist, Xc, yv, 3, inner_epochs, 4, 42)
+    batched_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for p in plist:
+        _inner_cv_score(cache, p, Xc, yv, 3, inner_epochs, 4, 42)
+    sequential_dt = time.perf_counter() - t0
+
     return {"svm_standard_5fold_seconds": svm_dt, "dl_3fold_seconds": dl_dt,
             "svm_standard_5fold_steady_seconds": svm_dt2,
             "dl_3fold_steady_seconds": dl_dt2,
-            "dl_tuning_trial_seconds": trial_dt}
+            "dl_tuning_trial_seconds": trial_dt,
+            "dl_tuning_trials8_batched_seconds": batched_dt,
+            "dl_tuning_trials8_sequential_seconds": sequential_dt,
+            "dl_tuning_trials8_speedup": sequential_dt / batched_dt}
 
 
 STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",
