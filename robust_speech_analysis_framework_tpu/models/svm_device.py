@@ -79,7 +79,10 @@ def _build_solver(C: float, tol: float, max_iter: int):
     import jax.numpy as jnp
     from jax import lax
 
-    NEG = jnp.float32(-1e30)
+    # host-side scalar: a jnp scalar here would live on the device and be
+    # fetched back across the (flaky, tunneled) link at every fresh-process
+    # lowering when it's embedded as an MLIR constant
+    NEG = np.float32(-1e30)
 
     def solve_one(X, y, valid):
         n = X.shape[0]
