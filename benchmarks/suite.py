@@ -254,6 +254,18 @@ def bench_cv(quick: bool) -> dict:
         run_dl_standard_kfold_cv,
     )
 
+    # Warm the device link before any timed first pass: the tunneled
+    # backend's first RPC after an idle window has been observed to stall
+    # for minutes (observed 124s/407s outliers on an 0.5s measurement).
+    # A throwaway compile + round trip absorbs the wedge so the timings
+    # below measure OUR first-pass cost (trace + cache load + upload),
+    # not the link's wake-up.
+    import jax
+    import jax.numpy as jnp
+
+    warm = np.random.default_rng(1).normal(size=(256, 256)).astype(np.float32)
+    np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.asarray(warm)))
+
     rng = np.random.default_rng(0)
     n, d = 110, 911
     X = pd.DataFrame(rng.normal(size=(n, d)))
@@ -417,6 +429,16 @@ def _attach_ratio(name: str, result: dict, baselines: dict) -> None:
                 )
                 if ours and base_steady:
                     result[f"vs_baseline_{stage}_steady"] = base_steady / ours
+            # the end-to-end tuning-round win: the reference runs trials
+            # strictly sequentially (src/dl_cv_strategies.py:308-310), so
+            # the honest baseline for one ask-8 round is 8 sequential CPU
+            # trials; ours is the lane-batched device round
+            seq_cpu = base.get("dl_tuning_trials8_sequential_seconds")
+            ours_batched = result.get("dl_tuning_trials8_batched_seconds")
+            if seq_cpu and ours_batched:
+                result["vs_baseline_dl_tuning_trials8_round"] = (
+                    seq_cpu / ours_batched
+                )
             result["baseline_impl"] = base.get("impl", "jax-cpu")
     except Exception:
         pass
