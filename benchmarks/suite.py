@@ -78,6 +78,11 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
         "nan_rows": nan_rows,
         "audio_sec_per_sec": n_files * seconds / dt,
         "first_pass_audio_sec_per_sec": n_files * seconds / dt_first,
+        # dominant link payload: int16 waveform upload (the 25 feature
+        # values per file coming back are noise) — lets run_stage label the
+        # stage compute- vs link-bound against the measured link bandwidth
+        "payload_up_mb": n_files * seconds * SR * 2 / 2**20,
+        "payload_down_mb": 0.0,
     }
 
 
@@ -101,6 +106,10 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
         "wall_seconds": dt,
         "audio_sec_per_sec": n_files * seconds / dt,
         "first_pass_audio_sec_per_sec": n_files * seconds / dt_first,
+        # int16 waveform upload dominates; the (B, 12, 38)×2 functional
+        # blocks coming back are ~4 KB/file
+        "payload_up_mb": n_files * seconds * SR * 2 / 2**20,
+        "payload_down_mb": n_files * 2 * 12 * 38 * 4 / 2**20,
     }
 
 
@@ -136,11 +145,19 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
         sequence_transfer_dtype=np.int8, upload_dtype=np.int16,
     )
     # f32 compute + per-frame int16-quantized download: frame-scale
-    # relative error ~3e-5 (inside the ≤1e-4 contract — bf16 compute is
-    # NOT: measured ~1% Frobenius) at half the f32 download bytes
+    # relative error ~3e-5 (inside the ≤1e-4 contract on the FROBENIUS
+    # reading; its max ELEMENTWISE error is ~1.5e-2) at half the f32
+    # download bytes
     exact16 = Wav2Vec2Extractor(
         params=strict.params, batch_size=16,
         sequence_transfer_dtype=np.int16, upload_dtype=np.int16,
+    )
+    # f32 compute + int16+int8-residual download (3 bytes/element): max
+    # ELEMENTWISE relative error ~6e-5 — passes the ≤1e-4 contract on the
+    # strict elementwise reading, at 75% of the f32 download bytes
+    exact24 = Wav2Vec2Extractor(
+        params=strict.params, batch_size=16,
+        sequence_transfer_dtype="int24", upload_dtype=np.int16,
     )
     warm = {f"w{i}.wav": _speech(5.0, 140, i) for i in range(2)}
     # 3x the shared file count: at 5 s chunks/16-chunk batches the other
@@ -158,7 +175,8 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
     probe = {k: waves[k] for k in list(waves)[:2]}
     ref_seq = strict.extract_sequences(probe, verbose=False)
     for label, ex in (
-        ("fast", fast), ("fastest", fastest), ("exact16", exact16)
+        ("fast", fast), ("fastest", fastest), ("exact16", exact16),
+        ("exact24", exact24),
     ):
         max_rel = fro_rel = 0.0
         for name, r in ref_seq.items():
@@ -174,7 +192,7 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
         out[f"{label}_fro_rel_error"] = fro_rel
     for label, ex in (
         ("strict_f32", strict), ("fast", fast), ("fastest", fastest),
-        ("exact16", exact16),
+        ("exact16", exact16), ("exact24", exact24),
     ):
         ex.extract_sequences(warm, verbose=False)  # compile
         if label in ("strict_f32", "fast"):  # pooled path: f32 vs bf16 only
@@ -190,30 +208,96 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
             out[f"{label}_embeddings_audio_sec_per_sec"] = (
                 n_files * seconds / dt_emb
             )
-    # headline sequence number: the best MEASURED configuration on this
-    # link (int8 halves the bytes but has been observed slower than f16 —
-    # transfer-path behavior is rig-dependent), with its measured error
-    # attached; strict/fast/fastest all reported alongside
-    best = max(
-        ("strict_f32", "fast", "fastest", "exact16"),
+    # The HEADLINE number (and vs_baseline) is the contract number: the
+    # fastest preset whose measured MAX ELEMENTWISE relative error vs
+    # strict f32 is ≤1e-4 (the strict reading of BASELINE.md's "≤1e-4
+    # relative feature error" — no silent dependence on the norm choice;
+    # Frobenius errors are reported alongside per preset). Faster
+    # out-of-contract presets are reported as side metrics only.
+    presets = ("fast", "fastest", "exact16", "exact24")
+    contract = [
+        l for l in presets if out.get(f"{l}_max_rel_error", 1.0) <= 1e-4
+    ]
+    best_contract = max(
+        ["strict_f32"] + contract,
         key=lambda l: out[f"{l}_audio_sec_per_sec"],
     )
-    out["headline_preset"] = best
-    out["headline_max_rel_error"] = out.get(f"{best}_max_rel_error", 0.0)
-    out["audio_sec_per_sec"] = out[f"{best}_audio_sec_per_sec"]
-    out["wall_seconds"] = n_files * seconds / out["audio_sec_per_sec"]
-    # north-star contract number: the fastest preset whose measured
-    # Frobenius relative error vs strict f32 is ≤1e-4
-    contract = [
-        l for l in ("fast", "fastest", "exact16")
-        if out.get(f"{l}_fro_rel_error", 1.0) <= 1e-4
+    out["contract_preset"] = best_contract
+    out["contract_audio_sec_per_sec"] = out[
+        f"{best_contract}_audio_sec_per_sec"
     ]
-    out["contract_audio_sec_per_sec"] = max(
-        [out["strict_f32_audio_sec_per_sec"]]
-        + [out[f"{l}_audio_sec_per_sec"] for l in contract]
+    best_any = max(
+        ("strict_f32",) + presets,
+        key=lambda l: out[f"{l}_audio_sec_per_sec"],
     )
+    out["offcontract_preset"] = best_any
+    out["offcontract_audio_sec_per_sec"] = out[f"{best_any}_audio_sec_per_sec"]
+    out["offcontract_max_rel_error"] = out.get(f"{best_any}_max_rel_error", 0.0)
+    out["headline_preset"] = best_contract
+    out["headline_max_rel_error"] = out.get(f"{best_contract}_max_rel_error", 0.0)
+    out["audio_sec_per_sec"] = out["contract_audio_sec_per_sec"]
+    out["wall_seconds"] = n_files * seconds / out["audio_sec_per_sec"]
+    # link payload of the headline (contract) preset: int16 chunk upload
+    # (5 s chunks / 4 s step → ×1.25 overlap duplication) down against the
+    # per-element sequence download bytes of the preset
+    seq_bytes = {"strict_f32": 4.0, "fast": 2.0, "fastest": 1.0,
+                 "exact16": 2.0, "exact24": 3.0}[best_contract]
+    frames = n_files * seconds * 1.25 * 49.9
+    out["payload_up_mb"] = n_files * seconds * 1.25 * SR * 2 / 2**20
+    out["payload_down_mb"] = frames * 768 * seq_bytes / 2**20
+    # MFU of the contract preset's encoder program: one 16-chunk batch
+    # covers 16 × 4 s (step) of real audio, so batches/s = aps / 64
+    import jax.numpy as jnp
+
+    ex = {"strict_f32": strict, "fast": fast, "fastest": fastest,
+          "exact16": exact16, "exact24": exact24}[best_contract]
+    batch = jnp.zeros((ex.batch_size, ex.chunk_size),
+                      jnp.dtype(ex.upload_dtype))
+    lens = jnp.full((ex.batch_size,), ex.chunk_size, jnp.int32)
+    cost = _program_cost(ex._forward, ex.params, batch, lens)
+    if cost:
+        out["flops_per_batch"] = cost["flops"]
+        wall_per_batch = (ex.batch_size * 4.0) / out["audio_sec_per_sec"]
+        _attach_mfu(out, cost["flops"], wall_per_batch)
     out["embeddings_audio_sec_per_sec"] = out["fast_embeddings_audio_sec_per_sec"]
     return out
+
+
+# Peak dense-matmul throughput per chip used for MFU reporting, by
+# device_kind. TPU v5e: 197 TFLOP/s bf16 (XLA's DEFAULT matmul precision on
+# TPU feeds the MXU bf16 inputs with f32 accumulation at full rate, so this
+# is the honest peak for f32-declared models too). Unknown kinds → no MFU.
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _program_cost(fn, *args) -> dict:
+    """XLA's own cost analysis for one jitted program: analytic FLOPs +
+    bytes accessed. Returns {} when the backend doesn't expose it."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes_accessed": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return {}
+
+
+def _attach_mfu(result: dict, flops_per_call: float, wall_per_call: float):
+    """result gains mfu = achieved FLOP/s over the chip's dense peak."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    peak = _PEAK_FLOPS.get(kind)
+    if peak and flops_per_call and wall_per_call > 0:
+        result["achieved_tflops"] = flops_per_call / wall_per_call / 1e12
+        result["mfu"] = flops_per_call / wall_per_call / peak
+        result["peak_tflops_assumed"] = peak / 1e12
 
 
 def bench_cnn_lstm() -> dict:
@@ -240,8 +324,16 @@ def bench_cnn_lstm() -> dict:
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     audio = x.shape[0] * SEQ_LEN / FPS
-    return {"p50_batch_seconds": p50, "batch": int(x.shape[0]),
-            "audio_sec_per_sec": audio / p50}
+    out = {"p50_batch_seconds": p50, "batch": int(x.shape[0]),
+           "audio_sec_per_sec": audio / p50}
+    cost = _program_cost(fwd, variables, x, lengths)
+    if cost:
+        out["flops_per_batch"] = cost["flops"]
+        _attach_mfu(out, cost["flops"], p50)
+    # the timed loop reads the (BATCH, 2) logits back and perturbs x on
+    # device — payloads are negligible, so this stage is compute-bound by
+    # construction; the transfer-bound stages record payload fields instead
+    return out
 
 
 def bench_cv(quick: bool) -> dict:
@@ -319,20 +411,22 @@ def bench_cv(quick: bool) -> dict:
     _inner_cv_score(cache, hp, Xc, yv, 3, inner_epochs, 4, 42)
     trial_dt = time.perf_counter() - t0
 
-    # A whole ask-8 round of same-architecture trials as lane-vmapped fold
-    # programs (the reference runs all trials strictly sequentially,
-    # src/dl_cv_strategies.py:308-310) vs the same 8 trials one at a time.
+    # A whole ask-8 round drawn from the FULL production search space (12
+    # architectures) through the production sampler path — per-round
+    # architecture commitment (_suggest_round) keeps all 8 trials in one
+    # lane-vmapped program — vs the same 8 trials one at a time (the
+    # reference runs all trials strictly sequentially,
+    # src/dl_cv_strategies.py:308-310).
     from robust_speech_analysis_framework_tpu.eval.dl_cv import (
-        _inner_cv_scores_batch,
+        DEFAULT_SEARCH_SPACE, _inner_cv_scores_batch, _suggest_round,
     )
+    from robust_speech_analysis_framework_tpu.tune import Study, TPESampler
 
-    trng = np.random.default_rng(7)
-    plist = [
-        dict(hp, learning_rate=float(10 ** trng.uniform(-5, -3)),
-             dropout_rate=float(trng.uniform(0.2, 0.5)))
-        for _ in range(8)
-    ]
+    study = Study(direction="maximize", sampler=TPESampler(seed=7))
+    plist = _suggest_round([study.ask() for _ in range(8)],
+                           DEFAULT_SEARCH_SPACE)
     _inner_cv_scores_batch(cache, plist, Xc, yv, 3, inner_epochs, 4, 42)
+    _inner_cv_score(cache, plist[0], Xc, yv, 3, inner_epochs, 4, 42)  # compile
     t0 = time.perf_counter()
     _inner_cv_scores_batch(cache, plist, Xc, yv, 3, inner_epochs, 4, 42)
     batched_dt = time.perf_counter() - t0
@@ -350,8 +444,114 @@ def bench_cv(quick: bool) -> dict:
             "dl_tuning_trials8_speedup": sequential_dt / batched_dt}
 
 
+def _battery_svm_datasets(rng) -> dict:
+    """Synthetic stand-ins for the nb02 cell-2 dataset grid: 3 feature sets
+    (MSHDS d=25, openSMILE d=911, Wav2Vec2 d=768) × reading (n=111) /
+    interview (n=109) / combined (d doubled) — the shapes the real
+    18-experiment battery solves (BASELINE.json config 5)."""
+    import pandas as pd
+
+    dims = {"mshds": 25, "opensmile": 911, "wav2vec2": 768}
+    out = {}
+    for fs, d in dims.items():
+        for kind, n, dd in (("reading", 111, d), ("interview", 109, d),
+                            ("combined", 109, 2 * d)):
+            y = (rng.random(n) > 0.5).astype(int)
+            X = rng.normal(size=(n, dd)) + 0.3 * y[:, None] * rng.normal(size=dd)
+            out[f"{fs}_{kind}"] = (pd.DataFrame(
+                X, columns=[f"f{i}" for i in range(dd)]
+            ), y)
+    return out
+
+
+def _battery_sequence_sets(rng, n_participants: int):
+    """Synthetic participant sequence sets for the 6 CNN-LSTM experiments."""
+    import pandas as pd
+
+    rows = []
+    sets = {"reading": {}, "interview": {}, "combined": {}}
+    for i in range(n_participants):
+        pid = f"{i:02d}_{'P' if i % 2 else 'C'}"
+        r = rng.normal(size=(int(rng.integers(64, 192)), 768)).astype(np.float32)
+        iv = rng.normal(size=(int(rng.integers(64, 192)), 768)).astype(np.float32)
+        sets["reading"][pid] = r
+        sets["interview"][pid] = iv
+        sets["combined"][pid] = np.vstack([r, iv])
+        rows.append({"unique_participant_id": pid,
+                     "label": "Patient" if i % 2 else "Control"})
+    return sets, pd.DataFrame(rows)
+
+
+def bench_battery(quick: bool) -> dict:
+    """BASELINE.json config 5 end to end: the full 18-experiment SVM battery
+    (9 datasets × standard k=25 / nested grid) plus the 6 CNN-LSTM
+    experiments (3 data types × tuned TPE / standard K-fold) on synthetic
+    reference-shaped data, timed as ONE wall-clock number — first pass
+    (fresh process: trace + AOT/XLA cache loads + upload) and steady state.
+    This is where per-shape compile walls either amortize or drown the
+    steady-state wins; the reference runs the same battery as sequential
+    libsvm/torch loops (src/cv_strategies.py:136-147, dl_cv_strategies.py:
+    308-310)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robust_speech_analysis_framework_tpu.eval.svm_cv import (
+        run_svm_nested_kfold_cv, run_svm_standard_kfold_cv,
+    )
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        run_dl_nested_cv, run_dl_standard_kfold_cv,
+    )
+
+    # absorb tunnel wake-up so the timings measure our cost, not the link's
+    np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256))))
+
+    rng = np.random.default_rng(0)
+    svm_sets = _battery_svm_datasets(rng)
+    n_parts = 10 if quick else 16
+    seq_sets, meta = _battery_sequence_sets(rng, n_parts)
+    n_trials = 2 if quick else 4
+    epochs = 2
+    inner_epochs = 2
+    trial_batch = n_trials
+
+    def run_once() -> dict:
+        t0 = time.perf_counter()
+        for name, (X, y) in svm_sets.items():
+            run_svm_standard_kfold_cv(
+                X, y, n_features_to_select=min(25, X.shape[1])
+            )
+            run_svm_nested_kfold_cv(X, y)
+        svm_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for kind, seqs in seq_sets.items():
+            df, _, _ = run_dl_nested_cv(
+                seqs, meta, n_splits_outer=2, n_splits_inner=3,
+                n_trials=n_trials, epochs=epochs, patience=epochs + 1,
+                batch_size=4, inner_epochs=inner_epochs, inner_batch_size=4,
+                trial_batch=trial_batch,
+            )
+            best = df.loc[df["f1_score"].idxmax()]["best_params"]
+            run_dl_standard_kfold_cv(
+                seqs, meta, best, n_splits=3, epochs=epochs,
+                patience=epochs + 1, batch_size=4,
+            )
+        dl_dt = time.perf_counter() - t0
+        return {"svm18_seconds": svm_dt, "dl6_seconds": dl_dt,
+                "battery_seconds": svm_dt + dl_dt}
+
+    first = run_once()
+    steady = run_once()
+    return {
+        **{k: v for k, v in first.items()},
+        **{f"{k.replace('_seconds', '')}_steady_seconds": v
+           for k, v in steady.items()},
+        "n_svm_experiments": 2 * len(svm_sets),
+        "n_dl_experiments": 2 * len(seq_sets),
+    }
+
+
 STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",
-          "cnn_lstm_infer", "cv_round"]
+          "cnn_lstm_infer", "cv_round", "battery"]
 
 
 def link_probe(n_mb: int = 8) -> dict:
@@ -390,7 +590,26 @@ def run_stage(name: str, quick: bool) -> dict:
         return bench_cnn_lstm()
     if name == "cv_round":
         return bench_cv(quick)
+    if name == "battery":
+        return bench_battery(quick)
     raise ValueError(name)
+
+
+def _attach_link_bound(result: dict) -> None:
+    """link_bound_fraction = the fraction of the stage's steady wall that
+    pure payload transfer at the measured link bandwidth would take — ≥ ~1
+    means the stage is running at the link's speed of light; ≪ 1 means the
+    wall is compute (or dispatch overhead), not the link."""
+    link = result.get("link") or {}
+    wall = result.get("wall_seconds") or 0.0
+    up = result.get("payload_up_mb")
+    down = result.get("payload_down_mb")
+    if not (wall and link.get("up_mb_per_s") and up is not None):
+        return
+    transfer_s = up / link["up_mb_per_s"]
+    if down and link.get("down_mb_per_s"):
+        transfer_s += down / link["down_mb_per_s"]
+    result["link_bound_fraction"] = transfer_s / wall
 
 
 def _load_json(path):
@@ -414,6 +633,16 @@ def _attach_ratio(name: str, result: dict, baselines: dict) -> None:
             result["vs_baseline"] = (
                 result["audio_sec_per_sec"] / base["audio_sec_per_sec"]
             )
+            result["baseline_impl"] = base.get("impl", "jax-cpu")
+        elif name == "battery":
+            for key in ("battery_seconds", "svm18_seconds", "dl6_seconds",
+                        "battery_steady_seconds"):
+                ours = result.get(key)
+                b = base.get(key)
+                if key == "battery_steady_seconds" and not b:
+                    b = base.get("battery_seconds")
+                if ours and b:
+                    result[f"vs_baseline_{key}"] = b / ours
             result["baseline_impl"] = base.get("impl", "jax-cpu")
         elif name == "cv_round":
             for key in ("svm_standard_5fold_seconds", "dl_3fold_seconds",
@@ -474,6 +703,7 @@ def main():
             result["link"] = link_probe()
         except Exception:
             pass
+        _attach_link_bound(result)
         print("STAGE_RESULT " + json.dumps(result))
         return
 

@@ -43,6 +43,22 @@ def _w2v2_precision_kwargs(precision: str) -> dict:
     return {}
 
 
+def _mesh_from_args(args):
+    """Resolve the --devices/--mp flags to a mesh argument.
+
+    Default (no flags): 'auto' — shard over ALL visible devices when more
+    than one is present, single-device otherwise. ``--devices 1`` forces
+    single-device; ``--devices N``/``--mp M`` build an explicit (N/M, M)
+    mesh."""
+    n = getattr(args, "devices", None)
+    mp = getattr(args, "mp", 1)
+    if n == 1:
+        return None
+    from .parallel import auto_mesh
+
+    return auto_mesh(n_devices=n, mp=mp)
+
+
 def _cmd_extract(args) -> int:
     from .experiments import extract_all_features
     from .features.wav2vec2 import Wav2Vec2Extractor
@@ -50,6 +66,8 @@ def _cmd_extract(args) -> int:
     features = args.features.split(",")
     extractor = None
     w2v2_kw = _w2v2_precision_kwargs(args.wav2vec2_precision)
+    mesh = _mesh_from_args(args)
+    w2v2_kw["mesh"] = mesh
     if args.wav2vec2_checkpoint:
         extractor = Wav2Vec2Extractor.from_hf_checkpoint(
             args.wav2vec2_checkpoint, **w2v2_kw
@@ -90,6 +108,7 @@ def _cmd_extract(args) -> int:
         wav2vec2_extractor=extractor,
         opensmile_config=opensmile_config,
         verbose=not args.quiet,
+        mesh=mesh,
     )
     for name, path in paths.items():
         print(f"{name}: {path}")
@@ -126,6 +145,8 @@ def _cmd_cnnlstm(args) -> int:
         n_trials=args.trials,
         skip_existing=not args.force,
         verbose=not args.quiet,
+        mesh=_mesh_from_args(args),
+        trial_batch=args.trial_batch,
     )
     for name, r in results.items():
         df = r["results_df"]
@@ -180,6 +201,20 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _add_mesh_flags(p) -> None:
+    p.add_argument(
+        "--devices", type=int, default=None,
+        help="number of devices to use (default: all visible devices — on "
+             "multi-chip this shards file batches and trial lanes "
+             "automatically; --devices 1 forces single-device)",
+    )
+    p.add_argument(
+        "--mp", type=int, default=1,
+        help="model-parallel axis size of the (dp, mp) mesh (must divide "
+             "the device count; dp = devices / mp)",
+    )
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="robust_speech_analysis_framework_tpu",
@@ -225,6 +260,7 @@ def main(argv=None) -> int:
     )
     p.add_argument("--force", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    _add_mesh_flags(p)
     p.set_defaults(fn=_cmd_extract)
 
     p = sub.add_parser("svm", help="run the 18 SVM CV experiments")
@@ -241,8 +277,16 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--models", default=None)
     p.add_argument("--trials", type=int, default=25)
+    p.add_argument(
+        "--trial-batch", type=int, default=8,
+        help="TPE ask-K round size: K trials score concurrently as "
+             "lane-vmapped fold programs (sharded over the mesh's dp axis "
+             "on multi-chip). 1 = the reference's sequential per-trial "
+             "schedule (posterior updates after every trial)",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    _add_mesh_flags(p)
     p.set_defaults(fn=_cmd_cnnlstm)
 
     p = sub.add_parser("predict", help="classify audio files with a trained model")

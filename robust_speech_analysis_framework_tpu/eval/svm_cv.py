@@ -233,14 +233,12 @@ def run_svm_nested_kfold_cv(
         # batched solve. The per-(outer, inner) scaler and ANOVA-F scores
         # are shared across the k grid — SelectKBest only re-slices them.
         problems, meta = [], []
-        inner_splits_per_fold = []
         for fold, (tr, te) in enumerate(outer_folds):
             X_tr, y_tr = Xv[tr], yv[tr]
             inner = StratifiedKFold(
                 n_splits=n_splits_inner, shuffle=True, random_state=seed
             )
             inner_splits = list(inner.split(X_tr, y_tr))
-            inner_splits_per_fold.append(inner_splits)
             for ii, (itr, ite) in enumerate(inner_splits):
                 scaler = StandardScaler().fit(X_tr[itr])
                 Xs = scaler.transform(X_tr[itr])

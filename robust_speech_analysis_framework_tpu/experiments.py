@@ -49,6 +49,19 @@ def _merge_with_metadata(features_df: pd.DataFrame, meta_df: pd.DataFrame):
     return meta_df.merge(features_df, on="filename")
 
 
+def _resolve_mesh(mesh):
+    """``mesh="auto"`` → a (dp, mp) mesh over all visible devices when there
+    is more than one, else None (single-device paths run unchanged). A Mesh
+    or None passes through."""
+    if isinstance(mesh, str):
+        if mesh != "auto":
+            raise ValueError(f"mesh must be 'auto', a Mesh, or None; got {mesh!r}")
+        from .parallel import auto_mesh
+
+        return auto_mesh()
+    return mesh
+
+
 def extract_all_features(
     corpus_dir: str,
     out_dir: str,
@@ -57,14 +70,23 @@ def extract_all_features(
     wav2vec2_extractor=None,
     opensmile_config=None,
     verbose: bool = True,
+    mesh="auto",
 ) -> Dict[str, str]:
     """Extract every feature set for reading + interview tasks.
 
     Returns {artifact key: path}. Cached artifacts are skipped when
     ``skip_existing`` (the reference's idempotency contract, nb01 cell 8).
+
+    ``mesh="auto"`` (default) shards every extractor's file batches over all
+    visible devices when more than one is present — MSHDS partitions the
+    corpus per device, openSMILE/Wav2Vec2 shard their bucket/chunk batches
+    over the mesh's dp axis. Pass an explicit ``jax.sharding.Mesh`` to
+    control the layout, or ``mesh=None`` to force single-device extraction.
+    A caller-supplied ``wav2vec2_extractor`` keeps its own mesh setting.
     """
     from .utils.profiling import ThroughputMeter, stage_timer
 
+    mesh = _resolve_mesh(mesh)
     features = list(features)
     if "wav2vec2" in features and wav2vec2_extractor is None:
         # fail fast (VERDICT r1 item 2): the fallback construction below
@@ -72,7 +94,7 @@ def extract_all_features(
         # mshds/opensmile stages spent minutes extracting
         from .features.wav2vec2 import Wav2Vec2Extractor as _W
 
-        wav2vec2_extractor = _W()  # raises with the full guidance message
+        wav2vec2_extractor = _W(mesh=mesh)  # raises with the full guidance
 
     os.makedirs(out_dir, exist_ok=True)
     reading_df, interview_df = load_androids_corpus(corpus_dir, verbose=verbose)
@@ -96,9 +118,12 @@ def extract_all_features(
     if "mshds" in features:
         from .features.mshds import FEATURE_NAMES, extract_mshds_batch
 
+        mesh_devices = list(mesh.devices.flat) if mesh is not None else None
+
         def _mshds(df):
             waves = _decoded(df)
-            out = extract_mshds_batch(waves, verbose=verbose)
+            out = extract_mshds_batch(waves, verbose=verbose,
+                                      devices=mesh_devices)
             # NaN rows for undecodable files (reference contract,
             # src/mshds_extractor.py:450-457)
             missing = [] if df.empty else [
@@ -133,7 +158,7 @@ def extract_all_features(
             with stage_timer(meter, "opensmile/reading", items=len(reading_df)):
                 feats = extract_opensmile_features(
                     reading_df, cfg, verbose=verbose,
-                    waveforms=_decoded(reading_df),
+                    waveforms=_decoded(reading_df), mesh=mesh,
                 )
             _merge_with_metadata(feats, reading_df).to_csv(p, index=False)
         p, cached = artifact("features_opensmile_interview_task_aggregated.csv")
@@ -141,7 +166,7 @@ def extract_all_features(
             with stage_timer(meter, "opensmile/interview", items=len(interview_df)):
                 clip_feats = extract_opensmile_features(
                     interview_df, cfg, verbose=verbose,
-                    waveforms=_decoded(interview_df),
+                    waveforms=_decoded(interview_df), mesh=mesh,
                 )
             aggregate_clip_features(clip_feats, interview_df).to_csv(p, index=False)
 
@@ -332,12 +357,24 @@ def run_cnn_lstm_experiments(
     batch_size: int = 8,
     skip_existing: bool = True,
     verbose: bool = True,
+    mesh="auto",
+    trial_batch: int = 8,
 ) -> Dict[str, dict]:
     """The 6 CNN-LSTM experiments (3 data types × tuned/standard) with
-    result pickles and final tuned checkpoints (nb03 cells 3-7)."""
+    result pickles and final tuned checkpoints (nb03 cells 3-7).
+
+    TPU-native defaults at this layer: the TPE searches run in ask-K
+    batched rounds (``trial_batch=8`` — K candidates scored concurrently as
+    lane-vmapped fold programs, sharded over the mesh's dp axis when
+    ``mesh`` resolves to one). NOTE this intentionally diverges from the
+    reference's sequential per-trial Optuna schedule (the classic
+    sequential-vs-batched BO trade; selected hyperparameters can differ for
+    the same seed): pass ``trial_batch=1`` for the reference schedule —
+    the engine-level :func:`~..eval.dl_cv.run_dl_nested_cv` default."""
     from .eval.dl_cv import run_dl_nested_cv, run_dl_standard_kfold_cv
     from .train.checkpoints import save_results_pickle
 
+    mesh = _resolve_mesh(mesh)
     os.makedirs(out_dir, exist_ok=True)
     sets, meta = build_sequence_sets(processed_dir, corpus_dir, verbose=verbose)
     results: Dict[str, dict] = {}
@@ -353,7 +390,7 @@ def run_cnn_lstm_experiments(
             df, preds, weights = run_dl_nested_cv(
                 seqs, meta, n_trials=n_trials, epochs=nested_epochs,
                 patience=nested_patience, batch_size=batch_size,
-                verbose=verbose,
+                verbose=verbose, mesh=mesh, trial_batch=trial_batch,
             )
             save_results_pickle(tuned_path, df, preds, weights)
             results[f"tuned_{kind}"] = {

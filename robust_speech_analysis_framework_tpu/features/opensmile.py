@@ -474,10 +474,11 @@ class OpenSmileExtractor:
         waveforms: Mapping[str, np.ndarray],
         verbose: bool = True,
         batched: bool = True,
+        mesh=None,
     ) -> pd.DataFrame:
         """{filename: waveform} → DataFrame['filename' + 912 features]."""
         if batched:
-            return self.extract_batch(waveforms, verbose=verbose)
+            return self.extract_batch(waveforms, verbose=verbose, mesh=mesh)
         cols = feature_columns(self.config.reference_compat)
         rows = []
         for name, x in waveforms.items():
@@ -515,10 +516,12 @@ def extract_opensmile_features(
     verbose: bool = True,
     waveforms: Optional[Mapping[str, np.ndarray]] = None,
     extractor: Optional["OpenSmileExtractor"] = None,
+    mesh=None,
 ) -> pd.DataFrame:
     """DataFrame front door with the reference extractor's API shape
     (src/opensmile_extractor.py:9-103): one row per file, 'filename' +
-    feature columns; files that fail are dropped with a logged error."""
+    feature columns; files that fail are dropped with a logged error.
+    ``mesh`` shards every bucket batch over the mesh's dp axis."""
     from ..audio.io import load_mono_16k
 
     if input_df.empty:
@@ -549,4 +552,4 @@ def extract_opensmile_features(
         except Exception as e:
             if verbose:
                 print(f"ERROR: could not read '{name}': {e}")
-    return ex.extract(wavs, verbose=verbose)
+    return ex.extract(wavs, verbose=verbose, mesh=mesh)

@@ -88,7 +88,20 @@ class Wav2Vec2Extractor:
 
             config = _dc.replace(config, compute_dtype=compute_dtype)
         self.config = config
-        self.sequence_transfer_dtype = np.dtype(sequence_transfer_dtype)
+        # "int24" = int16 values + int8 residual + one f32 scale per frame
+        # (3 bytes/element): quantization step scale/(32767·254) ≈ 6e-8 of
+        # the frame scale, so the max ELEMENTWISE relative feature error
+        # (floored at 1e-3 of the global magnitude) stays ≤ ~6e-5 — inside
+        # the ≤1e-4 contract on the strict elementwise reading — at 75% of
+        # the f32 download bytes.
+        self._int24 = (
+            isinstance(sequence_transfer_dtype, str)
+            and sequence_transfer_dtype == "int24"
+        )
+        self.sequence_transfer_dtype = (
+            np.dtype(np.int16) if self._int24
+            else np.dtype(sequence_transfer_dtype)
+        )
         # upload_dtype shrinks the host→device waveform stream (64 KB per
         # audio-second in f32). np.int16 halves it and is bit-exact for
         # waveforms that came from 16-bit PCM via audio.io (x/32768 lattice);
@@ -160,8 +173,23 @@ class Wav2Vec2Extractor:
             # inverse of audio.io's x = pcm / 32768 lattice
             return wav.astype(jnp.float32) * (1.0 / 32768.0) if dequant else wav
 
+        int24 = self._int24
+
         def fwd(p, wav, lengths):
             hidden, out_lens = self.model.apply(p, _dec(wav), lengths=lengths)
+            if int24:
+                # two-stage per-frame quantization: int16 mantissa + int8
+                # residual (see __init__) — dequantized on the host as
+                # (q1/32767 + q2/(32767·254)) · scale
+                scale = jnp.maximum(jnp.max(jnp.abs(hidden), axis=-1), 1e-12)
+                s1 = scale[..., None] / 32767.0
+                q1 = jnp.round(hidden / s1)
+                resid = hidden - q1 * s1
+                q2 = jnp.round(resid / s1 * 254.0)
+                return (
+                    q1.astype(jnp.int16), q2.astype(jnp.int8),
+                    scale.astype(jnp.float32),
+                ), out_lens
             if int_seq:
                 # quantize ON DEVICE so only intN values + one scale per
                 # frame cross the link; |hidden| <= scale so the rounded
@@ -205,10 +233,15 @@ class Wav2Vec2Extractor:
             self.params = jax.device_put(self.params, p_sh)
             wav_sh = batch_sharding(mesh, ndim=2)
             len_sh = batch_sharding(mesh, ndim=1)
-            hidden_sh = (
-                (batch_sharding(mesh, ndim=3), batch_sharding(mesh, ndim=2))
-                if int_seq else batch_sharding(mesh, ndim=3)
-            )
+            if int24:
+                hidden_sh = (batch_sharding(mesh, ndim=3),
+                             batch_sharding(mesh, ndim=3),
+                             batch_sharding(mesh, ndim=2))
+            elif int_seq:
+                hidden_sh = (batch_sharding(mesh, ndim=3),
+                             batch_sharding(mesh, ndim=2))
+            else:
+                hidden_sh = batch_sharding(mesh, ndim=3)
             self._forward = jax.jit(
                 fwd,
                 in_shardings=(p_sh, wav_sh, len_sh),
@@ -256,7 +289,12 @@ class Wav2Vec2Extractor:
         for sel, payload, out_lens in self._run_batches(
             chunk_data, self._forward
         ):
-            if isinstance(payload, tuple):  # intN transfer: (values, scales)
+            if isinstance(payload, tuple) and len(payload) == 3:
+                # int24 transfer: (int16 values, int8 residuals, scales)
+                q1, q2, scale = payload
+                hidden = q1.astype(np.float32) + q2.astype(np.float32) / 254.0
+                hidden *= (scale.astype(np.float32) / 32767.0)[..., None]
+            elif isinstance(payload, tuple):  # intN transfer: (values, scales)
                 q, scale = payload
                 qmax = 127.0 if q.dtype == np.int8 else 32767.0
                 hidden = q.astype(np.float32)

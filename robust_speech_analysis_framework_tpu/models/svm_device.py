@@ -20,6 +20,17 @@ Lane padding conventions:
   feature rows contribute nothing to w);
 - features: pad with zero columns (their w entries stay exactly 0), so
   lanes with different SelectKBest k share one shape.
+
+Shape canonicalization + disk AOT cache: an 18-experiment battery presents
+many distinct (L, n, d) combinations — per (dataset × mode) lane counts,
+fold sizes and k values — and the solver's ``while_loop`` program pays a
+large one-off trace+compile per shape on the TPU backend. Every call is
+therefore padded to a canonical bucket (lanes → pow2, rows → multiple of
+16, features → {25, 50, mult-64}), so a whole battery reuses a handful of
+programs; each bucket's program is additionally persisted via ``jax.export``
+(train/aot_cache.py) so fresh processes skip tracing and go straight to the
+persistent-XLA-cache compile hit. All-padding lanes (valid all-False) have
+no violating pair and converge at iteration one.
 """
 
 from __future__ import annotations
@@ -27,6 +38,23 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+
+
+def _canonical_lanes(L: int) -> int:
+    return max(4, 1 << (L - 1).bit_length())
+
+
+def _canonical_rows(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+def _canonical_dim(d: int) -> int:
+    # the CV engines pass d = SelectKBest k ≤ 50 (reference grids); the
+    # mult-64 tail keeps direct callers with wider features correct
+    for b in (25, 50):
+        if d <= b:
+            return b
+    return -(-d // 64) * 64
 
 
 def smo_linear_batch(
@@ -47,20 +75,33 @@ def smo_linear_batch(
       valid: (L, n) bool row mask.
 
     Returns ``(w, b, n_iter)`` as host arrays — shapes (L, d), (L,), (L,) —
-    or device arrays when ``defer`` (caller fetches with its own collect).
+    or device arrays when ``defer`` (caller fetches with its own collect;
+    deferred results keep the canonical padded shapes, slice with the
+    original L and d).
     """
     import jax
     import jax.numpy as jnp
 
-    X = np.ascontiguousarray(X, np.float32)
-    y_pm = np.ascontiguousarray(y_pm, np.float32)
-    valid = np.ascontiguousarray(valid, bool)
+    L, n, d = X.shape
+    Lc, nc, dc = _canonical_lanes(L), _canonical_rows(n), _canonical_dim(d)
+    if (Lc, nc, dc) != (L, n, d):
+        Xp = np.zeros((Lc, nc, dc), np.float32)
+        Xp[:L, :n, :d] = X
+        yp = np.ones((Lc, nc), np.float32)
+        yp[:L, :n] = y_pm
+        vp = np.zeros((Lc, nc), bool)
+        vp[:L, :n] = valid
+        X, y_pm, valid = Xp, yp, vp
+    else:
+        X = np.ascontiguousarray(X, np.float32)
+        y_pm = np.ascontiguousarray(y_pm, np.float32)
+        valid = np.ascontiguousarray(valid, bool)
 
     fn = _get_solver(X.shape, float(C), float(tol), int(max_iter))
     w, b, it = fn(jnp.asarray(X), jnp.asarray(y_pm), jnp.asarray(valid))
     if defer:
         return w, b, it
-    return np.asarray(w), np.asarray(b), np.asarray(it)
+    return np.asarray(w)[:L, :d], np.asarray(b)[:L], np.asarray(it)[:L]
 
 
 _SOLVER_CACHE: dict = {}
@@ -70,8 +111,33 @@ def _get_solver(shape, C: float, tol: float, max_iter: int):
     key = (shape, C, tol, max_iter)
     fn = _SOLVER_CACHE.get(key)
     if fn is None:
-        fn = _SOLVER_CACHE[key] = _build_solver(C, tol, max_iter)
+        fn = _SOLVER_CACHE[key] = _export_solver(shape, C, tol, max_iter)
     return fn
+
+
+def _export_solver(shape, C: float, tol: float, max_iter: int):
+    """Back the solver program with the disk ``jax.export`` cache: a fresh
+    process deserializes the traced program in milliseconds and its compile
+    hits the persistent XLA cache (identical StableHLO bytes), instead of
+    paying the full trace+compile wall per battery run."""
+    import jax.numpy as jnp
+
+    build = lambda: _build_solver(C, tol, max_iter)  # noqa: E731
+    try:
+        from ..train.aot_cache import load_or_export, program_cache_key
+
+        args = (
+            jnp.zeros(shape, jnp.float32),
+            jnp.ones(shape[:2], jnp.float32),
+            jnp.zeros(shape[:2], bool),
+        )
+        key = program_cache_key(
+            "smo", (shape, C, tol, max_iter), args,
+            sources=("models/svm_device.py",),
+        )
+        return load_or_export(build, key, args, tag="smo")
+    except Exception:  # pragma: no cover - cache infra must never block
+        return build()
 
 
 def _build_solver(C: float, tol: float, max_iter: int):

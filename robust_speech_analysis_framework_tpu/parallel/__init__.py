@@ -1,4 +1,4 @@
-from .mesh import make_mesh, mesh_axes
+from .mesh import auto_mesh, make_mesh, mesh_axes
 from .sharding import (
     batch_sharding,
     replicate,
@@ -7,6 +7,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "auto_mesh",
     "make_mesh",
     "mesh_axes",
     "batch_sharding",

@@ -43,3 +43,20 @@ def make_mesh(
         raise ValueError(f"mp={mp} does not divide device count {n}")
     arr = np.asarray(devs).reshape(n // mp, mp)
     return Mesh(arr, mesh_axes())
+
+
+def auto_mesh(
+    n_devices: Optional[int] = None, mp: int = 1
+) -> Optional[Mesh]:
+    """Mesh over the visible devices when there is more than one, else None.
+
+    The orchestration layer's default: ``cli extract`` / ``cli cnnlstm`` on
+    a pod shard file batches and trial lanes over all chips without any
+    flag (SURVEY §2.5's headline capability — batch-of-files DP replacing
+    the reference's serial per-file loop); on a single chip every mesh=
+    kwarg stays None and the single-device paths run unchanged."""
+    avail = len(jax.devices())
+    n = avail if n_devices is None else min(n_devices, avail)
+    if n <= 1:
+        return None
+    return make_mesh(n_devices=n, mp=mp)

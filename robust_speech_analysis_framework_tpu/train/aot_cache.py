@@ -71,12 +71,16 @@ def _register_export_serializations() -> None:
     _REGISTERED = True
 
 
-def _source_digest() -> str:
-    """Digest of the source files that define the fold program, so editing
-    the training loop or the model invalidates stale artifacts."""
+def _source_digest(
+    rels: Sequence[str] = (
+        "train/loops.py", "models/cnn_lstm.py", "ops/pallas/lstm.py"
+    ),
+) -> str:
+    """Digest of the source files that define a cached program, so editing
+    them invalidates stale artifacts."""
     h = hashlib.sha256()
     base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for rel in ("train/loops.py", "models/cnn_lstm.py", "ops/pallas/lstm.py"):
+    for rel in rels:
         p = os.path.join(base, rel)
         try:
             with open(p, "rb") as f:
@@ -87,14 +91,61 @@ def _source_digest() -> str:
 
 
 _SOURCE_DIGEST: Optional[str] = None
+_DIGEST_CACHE: dict = {}
+
+
+def program_cache_key(
+    tag: str, statics: tuple, args: Sequence[Any], sources: Sequence[str]
+) -> str:
+    """Cache key for an arbitrary exported program: like
+    :func:`fold_cache_key` but with caller-chosen source files (e.g. the
+    batched SMO solver keys on models/svm_device.py)."""
+    srcs = tuple(sources)
+    digest = _DIGEST_CACHE.get(srcs)
+    if digest is None:
+        digest = _DIGEST_CACHE[srcs] = _source_digest(srcs)
+    dev = jax.devices()[0]
+    raw = "\x00".join(
+        (
+            str(_SCHEMA_VERSION),
+            jax.__version__,
+            dev.platform,
+            getattr(dev, "device_kind", ""),
+            _config_sig(),
+            digest,
+            tag,
+            repr(statics),
+            _aval_sig(args),
+        )
+    )
+    return hashlib.sha256(raw.encode()).hexdigest()[:32]
 
 
 def _aval_sig(args: Sequence[Any]) -> str:
+    import numpy as np
+
     leaves, treedef = jax.tree_util.tree_flatten(args)
     parts = [str(treedef)]
     for leaf in leaves:
-        parts.append(f"{jax.numpy.asarray(leaf).dtype}{jax.numpy.shape(leaf)}")
+        # host leaves read dtype/shape via numpy — jnp.asarray would upload
+        # them to the device just to inspect metadata
+        dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+        parts.append(f"{dtype}{jax.numpy.shape(leaf)}")
     return "|".join(parts)
+
+
+def _config_sig() -> str:
+    """Runtime JAX config that changes the lowered program: an artifact
+    exported under one setting must not be served to a process running
+    another."""
+    vals = []
+    for name in ("jax_enable_x64", "jax_default_matmul_precision",
+                 "jax_numpy_dtype_promotion", "jax_default_dtype_bits"):
+        try:
+            vals.append(f"{name}={getattr(jax.config, name)}")
+        except AttributeError:
+            vals.append(f"{name}=?")
+    return ";".join(vals)
 
 
 def _cache_dir() -> Optional[str]:
@@ -115,6 +166,7 @@ def fold_cache_key(model_repr: str, statics: tuple, args: Sequence[Any]) -> str:
             jax.__version__,
             dev.platform,
             getattr(dev, "device_kind", ""),
+            _config_sig(),
             _SOURCE_DIGEST,
             model_repr,
             repr(statics),

@@ -143,3 +143,32 @@ def test_respaced_parameter_raises():
 
     with pytest.raises(ValueError, match="different space"):
         study.optimize(objective, n_trials=2)
+
+
+def test_suggest_round_commits_architecture_per_round():
+    """An ask-K round samples categorical (architecture) params once and
+    pins them for the whole round, records them on every trial, and varies
+    the continuous params per trial (eval/dl_cv._suggest_round)."""
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        DEFAULT_SEARCH_SPACE, _arch_key, _suggest_round,
+    )
+    from robust_speech_analysis_framework_tpu.tune import Study, TPESampler
+
+    study = Study(direction="maximize", sampler=TPESampler(seed=3))
+    asked = [study.ask() for _ in range(8)]
+    plist = _suggest_round(asked, DEFAULT_SEARCH_SPACE)
+    assert len(plist) == 8
+    archs = {_arch_key(p) for p in plist}
+    assert len(archs) == 1  # one lane-vmapped program per round
+    lrs = {p["learning_rate"] for p in plist}
+    assert len(lrs) == 8  # continuous params still vary per trial
+    # pinned categoricals are recorded on every trial so the posterior
+    # learns from all K scores
+    for t, p in zip(asked, plist):
+        assert t.params["cnn_out_channels"] == p["cnn_out_channels"]
+        assert t.params["activation_fn"] == p["activation_fn"]
+        study.tell(t, 0.5)
+    # successive rounds can pick different architectures
+    round2 = _suggest_round([study.ask() for _ in range(8)],
+                            DEFAULT_SEARCH_SPACE)
+    assert len({_arch_key(p) for p in round2}) == 1

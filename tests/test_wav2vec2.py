@@ -255,6 +255,36 @@ def test_int16_sequence_transfer_meets_contract():
         assert (np.abs(a - b) <= fmax * (1.0 / 65534.0 + 2e-6) + 1e-9).all()
 
 
+def test_int24_sequence_transfer_meets_elementwise_contract():
+    """int16+int8-residual download ('exact24' preset, 3 bytes/element):
+    quantization step is scale/(32767*254) ≈ 1.2e-7 of the frame max, so
+    the MAX ELEMENTWISE relative error (floored at 1e-3 of the global
+    magnitude, the benchmark's accuracy metric) must pass the ≤1e-4
+    contract on its strict elementwise reading — the property no
+    16-bit-only transfer achieves (exact16 measures ~1.5e-2 elementwise)."""
+    cfg = Wav2Vec2Config(num_layers=2)
+    rng = np.random.default_rng(17)
+    sr = 16000
+    waves = {
+        "a.wav": rng.normal(size=sr).astype(np.float32) * 0.1,
+        "b.wav": rng.normal(size=2 * sr).astype(np.float32) * 0.05,
+    }
+    base = Wav2Vec2Extractor(config=cfg, batch_size=4, allow_random_init=True)
+    q24 = Wav2Vec2Extractor(
+        params=base.params, config=cfg, batch_size=4,
+        sequence_transfer_dtype="int24",
+    )
+    for name in waves:
+        a = base.extract_sequences(waves, verbose=False)[name]
+        b = q24.extract_sequences(waves, verbose=False)[name]
+        assert b.dtype == np.float32 and a.shape == b.shape
+        floor = 1e-3 * float(np.abs(a).max())
+        max_rel = float(
+            np.max(np.abs(a - b) / np.maximum(np.abs(a), floor))
+        )
+        assert max_rel <= 1e-4, max_rel
+
+
 def test_int8_sequence_transfer_close_to_f32():
     """int8 per-frame max-abs quantized sequence download ('fastest'
     preset's transfer): values dequantize on host to within ~0.5% of the
