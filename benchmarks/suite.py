@@ -507,7 +507,11 @@ def bench_battery(quick: bool) -> dict:
 
     rng = np.random.default_rng(0)
     svm_sets = _battery_svm_datasets(rng)
-    n_parts = 10 if quick else 16
+    # the nested engine's final training carves an 80/20 split
+    # (train_test_indices n_splits=5) out of each outer-train split, which
+    # needs ≥5 members per class there: with 2 outer folds that means
+    # ≥20 participants
+    n_parts = 20 if quick else 24
     seq_sets, meta = _battery_sequence_sets(rng, n_parts)
     n_trials = 2 if quick else 4
     epochs = 2

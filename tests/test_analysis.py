@@ -1,5 +1,6 @@
 """Result-analysis helpers (nb02/nb03 analysis cell equivalents)."""
 
+import os
 import numpy as np
 import pandas as pd
 import pytest
@@ -114,3 +115,19 @@ def test_plots_render(tmp_path):
             "loss_curves_mshds_reading_standard"} <= set(written)
     for p in written.values():
         assert os.path.getsize(p) > 1000
+
+
+def test_readme_perf_tables_not_stale():
+    """README.md / docs/DESIGN.md performance tables are GENERATED from
+    benchmarks/results.json (benchmarks/report.py); a hand-edit or a
+    results refresh without regeneration must fail here (VERDICT r3
+    items 3/7)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "benchmarks.report", "--check"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
