@@ -59,14 +59,19 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
     warm = {f"w{i}.wav": _speech(seconds, 125 + 15 * i, 70 + i) for i in range(n_files)}
     extract_mshds_batch(warm, SR, n_workers=8, verbose=False)  # compile
     # first pass carries residual data-dependent compiles/cache loads; the
-    # second is the steady state a real (111-file, ~1h-audio) corpus
-    # amortizes to. Both are reported; steady is the headline.
+    # steady state (what a real 111-file/~1h-audio corpus amortizes to) is
+    # the headline, taken as best-of-3 so a single bad tunnel window cannot
+    # masquerade as a code regression (round 3's 814→413 audio-s/s swing
+    # was never attributed); all repeats are recorded alongside.
     t0 = time.perf_counter()
     out = extract_mshds_batch(waves, SR, n_workers=8, verbose=False)
     dt_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = extract_mshds_batch(waves, SR, n_workers=8, verbose=False)
-    dt = time.perf_counter() - t0
+    repeats = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = extract_mshds_batch(waves, SR, n_workers=8, verbose=False)
+        repeats.append(time.perf_counter() - t0)
+    dt = min(repeats)
     nan_rows = int(out["mean_F0"].isna().sum())
     if nan_rows > n_files // 4:
         # a wedged device client NaN-fills rows; let the isolated-stage retry
@@ -78,6 +83,7 @@ def bench_mshds(n_files: int, seconds: float) -> dict:
         "nan_rows": nan_rows,
         "audio_sec_per_sec": n_files * seconds / dt,
         "first_pass_audio_sec_per_sec": n_files * seconds / dt_first,
+        "repeat_audio_sec_per_sec": [n_files * seconds / r for r in repeats],
         # dominant link payload: int16 waveform upload (the 25 feature
         # values per file coming back are noise) — lets run_stage label the
         # stage compute- vs link-bound against the measured link bandwidth
@@ -96,9 +102,12 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
     t0 = time.perf_counter()
     df = ex.extract_batch(waves, verbose=True)
     dt_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    df = ex.extract_batch(waves, verbose=True)
-    dt = time.perf_counter() - t0
+    repeats = []
+    for _ in range(3):  # best-of-3 steady state (see bench_mshds)
+        t0 = time.perf_counter()
+        df = ex.extract_batch(waves, verbose=True)
+        repeats.append(time.perf_counter() - t0)
+    dt = min(repeats)
     if len(df) != n_files:
         raise RuntimeError(f"extraction incomplete: {len(df)}/{n_files} rows")
     return {
@@ -106,6 +115,7 @@ def bench_opensmile(n_files: int, seconds: float) -> dict:
         "wall_seconds": dt,
         "audio_sec_per_sec": n_files * seconds / dt,
         "first_pass_audio_sec_per_sec": n_files * seconds / dt_first,
+        "repeat_audio_sec_per_sec": [n_files * seconds / r for r in repeats],
         # int16 waveform upload dominates; the (B, 12, 38)×2 functional
         # blocks coming back are ~4 KB/file
         "payload_up_mb": n_files * seconds * SR * 2 / 2**20,
@@ -358,14 +368,20 @@ def bench_cv(quick: bool) -> dict:
     warm = np.random.default_rng(1).normal(size=(256, 256)).astype(np.float32)
     np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.asarray(warm)))
 
+    from robust_speech_analysis_framework_tpu.utils.profiling import (
+        span_report,
+    )
+
     rng = np.random.default_rng(0)
     n, d = 110, 911
     X = pd.DataFrame(rng.normal(size=(n, d)))
     X.columns = [f"f{i}" for i in range(d)]
     y = (rng.random(n) > 0.5).astype(int)
+    span_report(reset=True)
     t0 = time.perf_counter()
     run_svm_standard_kfold_cv(X, y, n_features_to_select=50)
     svm_dt = time.perf_counter() - t0
+    svm_spans = span_report(reset=True)
     # steady state: on an accelerator backend the batched device SMO's
     # one-off jit compile is out of the way — this is what a sweep of 18
     # experiments actually runs at
@@ -383,10 +399,12 @@ def bench_cv(quick: bool) -> dict:
           "lstm_hidden_dim": 64, "activation_fn": "silu"}
     meta = pd.DataFrame(rows)
     epochs = 2 if quick else 5
+    span_report(reset=True)
     t0 = time.perf_counter()
     run_dl_standard_kfold_cv(seqs, meta, hp, n_splits=3,
                              epochs=epochs, patience=10, batch_size=4)
     dl_dt = time.perf_counter() - t0
+    dl_spans = span_report(reset=True)
     # second round: every program is live, so this is the steady state a
     # real tuning sweep (hundreds of trials of the same shapes) runs at;
     # the first round is dominated by XLA compile/cache loading
@@ -441,7 +459,11 @@ def bench_cv(quick: bool) -> dict:
             "dl_tuning_trial_seconds": trial_dt,
             "dl_tuning_trials8_batched_seconds": batched_dt,
             "dl_tuning_trials8_sequential_seconds": sequential_dt,
-            "dl_tuning_trials8_speedup": sequential_dt / batched_dt}
+            "dl_tuning_trials8_speedup": sequential_dt / batched_dt,
+            # named first-pass cost decomposition (utils.profiling spans):
+            # AOT deserialize vs trace+export vs init vs corpus upload
+            "svm_first_pass_spans": svm_spans,
+            "dl_first_pass_spans": dl_spans}
 
 
 def _battery_svm_datasets(rng) -> dict:

@@ -196,6 +196,8 @@ def load_or_export(
     assignment in, and a multi-device artifact must never be served to a
     single-device caller of the same shapes (or vice versa).
     """
+    from ..utils.profiling import span
+
     for leaf in jax.tree_util.tree_leaves(args):
         sharding = getattr(leaf, "sharding", None)
         if sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
@@ -205,10 +207,11 @@ def load_or_export(
 
     if path and os.path.exists(path):
         try:
-            _register_export_serializations()
-            with open(path, "rb") as f:
-                exp = jax.export.deserialize(f.read())
-            return jax.jit(exp.call)
+            with span(f"aot/{tag}/deserialize"):
+                _register_export_serializations()
+                with open(path, "rb") as f:
+                    exp = jax.export.deserialize(f.read())
+                return jax.jit(exp.call)
         except Exception as e:  # stale/corrupt artifact → re-trace
             logger.warning("AOT fold artifact %s unusable (%s); re-tracing",
                            os.path.basename(path), e)
@@ -217,9 +220,10 @@ def load_or_export(
     if path is None:
         return fn
     try:
-        _register_export_serializations()
-        exp = jax.export.export(fn)(*args)
-        blob = exp.serialize()
+        with span(f"aot/{tag}/trace_export"):
+            _register_export_serializations()
+            exp = jax.export.export(fn)(*args)
+            blob = exp.serialize()
         os.makedirs(d, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:

@@ -123,6 +123,8 @@ class Trainer:
         self._fold_cache: Dict[tuple, Any] = {}  # device-fold programs
 
     def init_state(self, rng: jax.Array, example: jnp.ndarray, lr: float) -> TrainState:
+        from ..utils.profiling import span
+
         # jitted: flax's eager init would otherwise run the whole forward
         # (LSTM scan included) one dispatch at a time — seconds per fold on
         # a tunneled chip, and folds/trials re-init constantly
@@ -132,7 +134,8 @@ class Trainer:
                     {"params": r, "dropout": r}, ex, train=False
                 )
             )
-        variables = self._init_fn(rng, example)
+        with span("train/init_state"):
+            variables = self._init_fn(rng, example)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         opt_state = self.tx.init(params)
@@ -221,21 +224,15 @@ class Trainer:
         if isinstance(sequences, SeqView):
             # zero-upload: gather rows from the resident corpus buffer
             corpus = sequences.corpus
-            if not hasattr(self, "_eval_gather"):
-                self._eval_gather = jax.jit(
-                    lambda st, x, ln, idx, masked: self._eval_step_impl(
-                        st, x[idx], ln[idx], masked
-                    ),
-                    static_argnums=(4,),
-                )
             n = len(sequences)
             for start in range(0, n, cfg.batch_size):
                 loc = np.arange(start, min(start + cfg.batch_size, n))
-                pending.append((loc, self._eval_gather(
+                args = (
                     state, corpus.x, corpus.lengths,
                     jnp.asarray(sequences.idx[loc].astype(np.int32)),
-                    cfg.use_length_masking,
-                )))
+                )
+                fn = self._eval_gather_fn(cfg.use_length_masking, args)
+                pending.append((loc, fn(*args)))
                 if len(pending) > max_inflight:
                     drain(pending.pop(0))
             for item in pending:
@@ -289,21 +286,15 @@ class Trainer:
         outs = []
         if isinstance(sequences, SeqView):
             corpus = sequences.corpus
-            if not hasattr(self, "_eval_gather"):
-                self._eval_gather = jax.jit(
-                    lambda st, x, ln, idx, masked: self._eval_step_impl(
-                        st, x[idx], ln[idx], masked
-                    ),
-                    static_argnums=(4,),
-                )
             for start in range(0, n, cfg.batch_size):
                 loc = np.arange(start, min(start + cfg.batch_size, n))
                 idx_groups.append(loc)
-                outs.append(self._eval_gather(
+                args = (
                     state, corpus.x, corpus.lengths,
                     jnp.asarray(sequences.idx[loc].astype(np.int32)),
-                    cfg.use_length_masking,
-                ))
+                )
+                fn = self._eval_gather_fn(cfg.use_length_masking, args)
+                outs.append(fn(*args))
         else:
             from ..data.batching import length_sorted_batches, pad_batch
 
@@ -324,6 +315,36 @@ class Trainer:
             return logits_out
 
         return Deferred(outs, finalize)
+
+    def _eval_gather_fn(self, masked: bool, args: tuple):
+        """Per-shape eval program for the resident-corpus gather path,
+        backed by the disk AOT cache: a fresh process otherwise re-traces
+        the eval forward per (batch-index length) shape — part of the
+        dl_3fold first-pass wall the fold-program cache doesn't cover."""
+        idx_len = int(args[3].shape[0])
+        key = ("eval_gather", masked, idx_len)
+        fn = self._fold_cache.get(key)
+        if fn is None:
+            def build():
+                return jax.jit(
+                    lambda st, x, ln, idx: self._eval_step_impl(
+                        st, x[idx], ln[idx], masked
+                    )
+                )
+
+            try:
+                from .aot_cache import load_or_export, program_cache_key
+
+                disk_key = program_cache_key(
+                    repr(self.model), key, args,
+                    sources=("train/loops.py", "models/cnn_lstm.py",
+                             "ops/pallas/lstm.py"),
+                )
+                fn = load_or_export(build, disk_key, args, tag="eval")
+            except Exception:  # cache infra must never block the eval pass
+                fn = build()
+            self._fold_cache[key] = fn
+        return fn
 
     def _trials_eval_fn(self, masked: bool, gather: bool):
         """Jitted lane-vmapped eval step for a stacked trial TrainState."""
@@ -496,14 +517,19 @@ class DeviceCorpus:
         buf = np.zeros((len(self.seqs), t_pad, d), np.float32)
         for i, s in enumerate(self.seqs):
             buf[i, : len(s)] = s
-        if sharding is not None:
-            # mesh callers replicate the corpus so lane-sharded trial
-            # programs (train_trials_device) can read it on every chip
-            self.x = jax.device_put(buf, sharding)
-            self.lengths = jax.device_put(np.asarray(lens, np.int32), sharding)
-        else:
-            self.x = jnp.asarray(buf)
-            self.lengths = jnp.asarray(np.asarray(lens, np.int32))
+        from ..utils.profiling import span
+
+        with span("corpus/upload"):
+            if sharding is not None:
+                # mesh callers replicate the corpus so lane-sharded trial
+                # programs (train_trials_device) can read it on every chip
+                self.x = jax.device_put(buf, sharding)
+                self.lengths = jax.device_put(
+                    np.asarray(lens, np.int32), sharding
+                )
+            else:
+                self.x = jnp.asarray(buf)
+                self.lengths = jnp.asarray(np.asarray(lens, np.int32))
         self.host_lengths = np.asarray(lens, np.int64)
 
     def view(self, idx: np.ndarray) -> "SeqView":

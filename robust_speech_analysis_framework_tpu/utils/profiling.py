@@ -94,3 +94,39 @@ def trace_to(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# Fresh-process cost spans: cumulative wall per labeled region, for
+# attributing first-pass walls (trace vs AOT-deserialize vs compile vs init
+# vs upload) without a full profiler. Enabled whenever imported — overhead
+# is two perf_counter calls per span.
+# ---------------------------------------------------------------------------
+
+_SPANS: Dict[str, float] = {}
+_SPAN_COUNTS: Dict[str, int] = {}
+
+
+@contextlib.contextmanager
+def span(label: str) -> Iterator[None]:
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        _SPANS[label] = _SPANS.get(label, 0.0) + dt
+        _SPAN_COUNTS[label] = _SPAN_COUNTS.get(label, 0) + 1
+
+
+def span_report(reset: bool = False) -> Dict[str, Dict[str, float]]:
+    """{label: {seconds, calls}} accumulated since process start (or the
+    last reset). benchmarks/suite.py attaches this to first-pass timings so
+    a 15 s fresh-process wall decomposes into named costs."""
+    out = {
+        k: {"seconds": v, "calls": _SPAN_COUNTS.get(k, 0)}
+        for k, v in sorted(_SPANS.items(), key=lambda kv: -kv[1])
+    }
+    if reset:
+        _SPANS.clear()
+        _SPAN_COUNTS.clear()
+    return out
