@@ -321,8 +321,14 @@ class Trainer:
         backed by the disk AOT cache: a fresh process otherwise re-traces
         the eval forward per (batch-index length) shape — part of the
         dl_3fold first-pass wall the fold-program cache doesn't cover."""
+        # exported programs are fixed-shape, so the key carries the resident
+        # corpus buffer's shape too — two DeviceCorpus instances with the
+        # same batch-index length but different (N, T, D) buffers (e.g. the
+        # battery's reading vs combined sets) are different programs
         idx_len = int(args[3].shape[0])
-        key = ("eval_gather", masked, idx_len)
+        key = ("eval_gather", masked, idx_len,
+               tuple(args[1].shape), str(getattr(args[1], "dtype", "")),
+               tuple(args[2].shape))
         fn = self._fold_cache.get(key)
         if fn is None:
             def build():

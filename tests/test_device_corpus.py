@@ -88,3 +88,39 @@ def test_device_corpus_roundtrip_and_view():
     )
     assert [len(sub[i]) for i in range(2)] == [len(X[2]), len(X[0])]
     np.testing.assert_array_equal(sub[1], X[0])
+
+
+def test_eval_gather_program_rekeys_on_corpus_shape():
+    """Two resident corpora with the SAME batch-index length but different
+    padded (N, T, D) buffers must not share an eval gather program: exported
+    programs are fixed-shape, and serving the 12-frame corpus's program to
+    the 20-frame corpus either raises a shape mismatch or silently reads the
+    wrong buffer (regression: the battery's reading vs combined sets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robust_speech_analysis_framework_tpu.models import CNNLSTM
+    from robust_speech_analysis_framework_tpu.train.loops import (
+        TrainConfig, Trainer,
+    )
+
+    rng = np.random.default_rng(7)
+    short = [rng.normal(size=(10, 6)).astype(np.float32) for _ in range(4)]
+    long = [rng.normal(size=(18, 6)).astype(np.float32) for _ in range(4)]
+    model = CNNLSTM(input_dim=6, cnn_out_channels=4, lstm_hidden_dim=4)
+    trainer = Trainer(model)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 6)), 1e-3
+    )
+    cfg = TrainConfig(batch_size=4, min_bucket=8)
+
+    outs = []
+    for data in (short, long):
+        corpus = DeviceCorpus(data, align=8)
+        view = corpus.view(np.arange(4))
+        logits = trainer.eval_logits_deferred(state, view, cfg).result()
+        # oracle: the plain host-list eval of the same sequences
+        ref = trainer.eval_logits(state, data, cfg)
+        np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-5)
+        outs.append(logits)
+    assert outs[0].shape == outs[1].shape == (4, 2)
