@@ -486,16 +486,26 @@ def _battery_svm_datasets(rng) -> dict:
     return out
 
 
-def _battery_sequence_sets(rng, n_participants: int):
-    """Synthetic participant sequence sets for the 6 CNN-LSTM experiments."""
+def _battery_sequence_sets(rng, n_participants: int,
+                           t_range=(512, 2048)):
+    """Synthetic participant sequence sets for the 6 CNN-LSTM experiments.
+
+    ``t_range`` defaults to reference scale: per-participant Wav2Vec2
+    sequences are thousands of frames (one ~88 s reading file is (4378,
+    768), SURVEY §6.4; aggregated interview sessions are longer still), and
+    the combined set vstacks reading+interview (≈2×). Tiny toy lengths
+    would over-weight per-step dispatch overhead on both sides of the
+    comparison and under-represent the compute the reference battery
+    actually runs."""
     import pandas as pd
 
     rows = []
     sets = {"reading": {}, "interview": {}, "combined": {}}
+    lo, hi = t_range
     for i in range(n_participants):
         pid = f"{i:02d}_{'P' if i % 2 else 'C'}"
-        r = rng.normal(size=(int(rng.integers(64, 192)), 768)).astype(np.float32)
-        iv = rng.normal(size=(int(rng.integers(64, 192)), 768)).astype(np.float32)
+        r = rng.normal(size=(int(rng.integers(lo, hi)), 768)).astype(np.float32)
+        iv = rng.normal(size=(int(rng.integers(lo, hi)), 768)).astype(np.float32)
         sets["reading"][pid] = r
         sets["interview"][pid] = iv
         sets["combined"][pid] = np.vstack([r, iv])
@@ -534,7 +544,11 @@ def bench_battery(quick: bool) -> dict:
     # needs ≥5 members per class there: with 2 outer folds that means
     # ≥20 participants
     n_parts = 20 if quick else 24
-    seq_sets, meta = _battery_sequence_sets(rng, n_parts)
+    # quick mode keeps toy lengths (CI-speed smoke); the measured battery
+    # runs reference-scale sequences (see _battery_sequence_sets)
+    seq_sets, meta = _battery_sequence_sets(
+        rng, n_parts, t_range=(64, 192) if quick else (512, 2048)
+    )
     n_trials = 2 if quick else 4
     epochs = 2
     inner_epochs = 2
