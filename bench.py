@@ -29,10 +29,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-FRAMES_PER_SECOND = 49.9
-SEQ_LEN = 4378
-PAD_LEN = 4480  # padded to a multiple of 128 frames for clean tiling
-DIM = 768
+from benchmarks.flagship import DIM, FRAMES_PER_SECOND, PAD_LEN, SEQ_LEN  # noqa: E402
 
 
 def _probe_alive() -> bool:
@@ -66,22 +63,21 @@ def _probe_alive() -> bool:
 
 
 def _measure(batch: int, reps: int) -> dict:
-    """The actual measurement — runs inside a deadline-guarded subprocess."""
-    import jax
+    """The actual measurement — runs inside a deadline-guarded subprocess.
+
+    The forward program comes from ``benchmarks.flagship.build_forward``:
+    backed by a disk ``jax.export`` artifact (skips Python tracing in this
+    fresh process) and byte-identical to the suite's program (shares its
+    persistent-XLA-cache entry), so a healthy run pays only deserialize +
+    cache-hit compile + one execution — well inside the deadline even in a
+    slow device window (round-4 VERDICT item 6)."""
     import jax.numpy as jnp
 
-    from robust_speech_analysis_framework_tpu.models import CNNLSTM
+    from benchmarks.flagship import build_forward
 
-    model = CNNLSTM(input_dim=DIM, cnn_out_channels=128, lstm_hidden_dim=128)
-    rng = jax.random.PRNGKey(0)
+    forward, variables, lengths = build_forward(batch)
     x_host = np.random.default_rng(0).normal(size=(batch, PAD_LEN, DIM)).astype(np.float32)
     x = jnp.asarray(x_host)
-    lengths = jnp.full((batch,), SEQ_LEN, jnp.int32)
-    variables = model.init(rng, x[:1, :256], train=False)
-
-    @jax.jit
-    def forward(variables, x, lengths):
-        return model.apply(variables, x, train=False, lengths=lengths)
 
     np.asarray(forward(variables, x, lengths))  # compile + full round trip
     times = []
@@ -95,10 +91,12 @@ def _measure(batch: int, reps: int) -> dict:
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     audio_sec = batch * SEQ_LEN / FRAMES_PER_SECOND
-    return {"value": audio_sec / p50}
+    return {"value": audio_sec / p50,
+            "repeats": [round(audio_sec / t, 2) for t in times]}
 
 
-def _emit(value: float, stale: bool = False, batch: int = None) -> None:
+def _emit(value: float, stale: bool = False, batch: int = None,
+          repeats=None) -> None:
     baseline_path = os.path.join(REPO, "benchmarks", "baselines.json")
     vs_baseline = float("nan")
     try:
@@ -115,6 +113,11 @@ def _emit(value: float, stale: bool = False, batch: int = None) -> None:
     }
     if stale:
         out["stale"] = True
+    if repeats:
+        # per-rep throughputs: round-over-round drift (e.g. the unannotated
+        # 155k→127k swing of round 4) is attributable at a glance — a tight
+        # spread is a real change, a wide one is tunnel noise
+        out["repeats"] = repeats
     if batch is not None and batch != 128:
         # reduced-size fallback measurement: make it distinguishable from
         # the full batch-128 run in the recorded JSON
@@ -147,7 +150,7 @@ def _run_measurement(batch: int, reps: int, timeout_s: float):
         )
         return None
     try:
-        return float(json.loads(r.stdout.strip().splitlines()[-1])["value"])
+        return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception:
         print(
             f"bench.py: unparseable measurement output: {r.stdout[-500:]!r}",
@@ -179,19 +182,29 @@ def _stale_fallback() -> int:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--_measure":
-        _emit(_measure(int(sys.argv[2]), int(sys.argv[3]))["value"])
+        print(json.dumps(_measure(int(sys.argv[2]), int(sys.argv[3]))))
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--export":
+        # pre-trace/export + pre-compile the measurement program so later
+        # fresh-process runs (the driver's) skip both costs; run after any
+        # model-source change (the suite also does this at the end of its
+        # cnn_lstm stage)
+        from benchmarks.flagship import export_artifact
+
+        export_artifact(batch=128)
+        print("exported flagship forward (batch=128)")
         return 0
 
     if _probe_alive():
-        value = _run_measurement(batch=128, reps=5, timeout_s=480.0)
-        if value is not None:
-            _emit(value)
+        res = _run_measurement(batch=128, reps=5, timeout_s=480.0)
+        if res is not None:
+            _emit(res["value"], repeats=res.get("repeats"))
             return 0
         # reduced-size fallback: smaller compile + upload — emitted with
         # "reduced": true so it cannot be recorded as a full batch-128 run
-        value = _run_measurement(batch=16, reps=3, timeout_s=300.0)
-        if value is not None:
-            _emit(value, batch=16)
+        res = _run_measurement(batch=16, reps=3, timeout_s=300.0)
+        if res is not None:
+            _emit(res["value"], batch=16, repeats=res.get("repeats"))
             return 0
     return _stale_fallback()
 
