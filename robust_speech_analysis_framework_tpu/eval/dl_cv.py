@@ -65,8 +65,17 @@ def align_sequences_and_labels(
             "participant id (e.g. '01_CF30_1'), not by clip filename; see "
             "aggregate_interview_sequences / build_sequence_sets"
         )
-    X = [np.asarray(sequences_dict[pid], dtype=np.float32) for pid in common]
     y = label_map.loc[common].to_numpy()
+    if getattr(sequences_dict, "is_resident_sequences", False):
+        # fused extract→train handoff: the sequences already live in device
+        # HBM (features.wav2vec2.ResidentSequences) — adopt the buffer as a
+        # resident corpus view instead of downloading + re-uploading it
+        from ..train.loops import DeviceCorpus
+
+        corpus = DeviceCorpus.from_resident(sequences_dict)
+        rows = np.asarray([sequences_dict.row(pid) for pid in common])
+        return corpus.view(rows), y, common
+    X = [np.asarray(sequences_dict[pid], dtype=np.float32) for pid in common]
     return X, y, common
 
 
@@ -115,6 +124,15 @@ def _subset(seq: Sequence, idx: np.ndarray):
     return [seq[i] for i in idx]
 
 
+def _input_dim(X) -> int:
+    """Feature dim without touching data: a resident-corpus view reads the
+    device buffer's metadata (downloading a row would defeat the fused
+    zero-transfer handoff)."""
+    if hasattr(X, "corpus"):
+        return int(X.corpus.x.shape[2])
+    return int(np.asarray(X[0]).shape[1])
+
+
 # fallback device-resident corpus budget when the backend reports no memory
 # stats: one padded (N, T, D) f32 buffer per CV run
 _CORPUS_BUDGET_FALLBACK_BYTES = 4 << 30
@@ -145,8 +163,10 @@ def _as_device_corpus(X: list, mesh=None):
     their subsets (the dominant per-fold cost on a tunneled chip). With
     ``mesh`` the buffer is replicated over the mesh so lane-sharded trial
     programs can read it."""
-    from ..train.loops import DeviceCorpus
+    from ..train.loops import DeviceCorpus, SeqView
 
+    if isinstance(X, SeqView):  # already resident (fused handoff)
+        return X
     sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -201,7 +221,7 @@ def run_dl_standard_kfold_cv(
     """
     X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
     X = _as_device_corpus(X)
-    cache = _TrainerCache(input_dim=X[0].shape[1])
+    cache = _TrainerCache(input_dim=_input_dim(X))
     cv = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
 
     trainer = cache.get(hyperparams)
@@ -476,7 +496,7 @@ def run_dl_nested_cv(
     space = dict(search_space or DEFAULT_SEARCH_SPACE)
     X, y, _ = align_sequences_and_labels(sequences_dict, metadata_df)
     X = _as_device_corpus(X, mesh=mesh)
-    cache = _TrainerCache(input_dim=X[0].shape[1])
+    cache = _TrainerCache(input_dim=_input_dim(X))
     outer = StratifiedKFold(n_splits=n_splits_outer, shuffle=True, random_state=seed)
 
     from ..train.loops import SeqView, _device_fold_fits

@@ -410,6 +410,124 @@ class Wav2Vec2Extractor:
                     a = np.asarray(a)
                 yield sel, a, np.asarray(b)
 
+    def _scatter_forward_fn(self):
+        """Jitted encoder-forward + buffer-scatter program for the resident
+        extraction path (:meth:`extract_sequences_resident`).
+
+        Runs the chunk batch through the encoder and writes each chunk's
+        valid frames straight into the corpus buffer at (row, frame-offset)
+        — the (B, T, H) activations NEVER cross the host↔device link, which
+        is the dominant transfer of sequence extraction (VERDICT r4 item 4:
+        81% of the stage wall at measured link bandwidth). The buffer is
+        donated, so XLA updates it in place.
+
+        Frames beyond a chunk's valid length are zero-masked before the
+        write; since every non-final chunk of a file contributes exactly
+        ``output_length(chunk_size)`` frames, all writes are disjoint and
+        zero tails land only in a file's own padding — batch execution
+        order is irrelevant.
+        """
+        fn = getattr(self, "_scatter_fwd", None)
+        if fn is None:
+
+            def fwd_scatter(p, wav, lengths, buf, rows, offs):
+                hidden, out_lens = self.model.apply(
+                    p, wav.astype(jnp.float32) * (1.0 / 32768.0)
+                    if self.upload_dtype == np.int16 else wav,
+                    lengths=lengths,
+                )
+                hidden = hidden.astype(jnp.float32)
+                t = hidden.shape[1]
+                mask = jnp.arange(t)[None, :, None] < out_lens[:, None, None]
+                hidden = jnp.where(mask, hidden, 0.0)
+
+                def body(i, b):
+                    return jax.lax.dynamic_update_slice(
+                        b, hidden[i][None], (rows[i], offs[i], 0)
+                    )
+
+                return jax.lax.fori_loop(0, hidden.shape[0], body, buf)
+
+            fn = self._scatter_fwd = jax.jit(fwd_scatter, donate_argnums=(3,))
+        return fn
+
+    def extract_sequences_resident(
+        self,
+        waveforms: Mapping[str, np.ndarray],
+        verbose: bool = True,
+        align: int = 128,
+    ) -> "ResidentSequences":
+        """Extract the corpus's (T, hidden) sequences INTO device HBM.
+
+        The fused extract→train handoff: instead of downloading every
+        sequence to the host (reference chunk loop,
+        src/foundation_model_extractor.py:97-124) and re-uploading it for
+        CNN-LSTM training, the encoder's outputs scatter directly into one
+        padded (N, T_pad, H) device buffer that the CV engines consume as a
+        resident corpus (train/loops.DeviceCorpus) with zero additional
+        transfer. Host access to individual sequences stays available
+        through the returned mapping (lazy per-row download).
+
+        Chunk semantics are identical to :meth:`extract_sequences`
+        (5 s/1 s-overlap, no-trim concatenation, short-file skip).
+        """
+        names, chunk_refs, chunk_data = self._gather_chunks(waveforms, verbose)
+        if not names:
+            return ResidentSequences([], None, np.zeros(0, np.int64))
+        cfg = self.config
+        chunk_frames = int(cfg.output_length(self.chunk_size))
+        # per-chunk (row, frame-offset) from the host-side length formula —
+        # concat WITHOUT overlap trimming, exactly as extract_sequences
+        rows, offs, total = [], [], [0] * len(names)
+        for ref in chunk_refs:
+            rows.append(ref.file_index)
+            offs.append(total[ref.file_index])
+            total[ref.file_index] += int(cfg.output_length(ref.n_samples))
+        # margin: every write is chunk_frames wide, so the buffer must
+        # extend chunk_frames past any file's last offset or
+        # dynamic_update_slice would clamp the write start index. The
+        # margin (and the scratch row) are trimmed off afterwards so the
+        # final buffer has EXACTLY the (N, align-up(max T), H) shape a
+        # host-side DeviceCorpus upload of the same sequences would have —
+        # fused and unfused paths then share compiled fold/eval programs
+        # and train-mode BatchNorm sees identical padding.
+        t_final = max(align, -(-max(total) // align) * align)
+        t_pad = -(-(max(total) + chunk_frames) // align) * align
+        hdim = cfg.hidden_size
+        # one scratch row (index N) absorbs the padding lanes of the final
+        # partial batch
+        buf = jnp.zeros((len(names) + 1, t_pad, hdim), jnp.float32)
+
+        fn = self._scatter_forward_fn()
+        bs = self.batch_size
+        quantize = self.upload_dtype == np.int16
+        for start in range(0, len(chunk_data), bs):
+            sel = range(start, min(start + bs, len(chunk_data)))
+            batch = np.zeros((bs, self.chunk_size), self.upload_dtype)
+            lengths = np.full(bs, self.min_samples, np.int32)
+            brows = np.full(bs, len(names), np.int32)  # scratch row
+            boffs = np.zeros(bs, np.int32)
+            for j, i in enumerate(sel):
+                c = chunk_data[i]
+                if self.normalize:
+                    c = (c - c.mean()) / np.sqrt(c.var() + 1e-7)
+                if quantize:
+                    c = np.clip(
+                        np.round(c * 32768.0), -32768, 32767
+                    ).astype(np.int16)
+                batch[j, : len(c)] = c
+                lengths[j] = len(chunk_data[i])
+                brows[j] = rows[i]
+                boffs[j] = offs[i]
+            buf = fn(
+                self.params, jnp.asarray(batch), jnp.asarray(lengths),
+                buf, jnp.asarray(brows), jnp.asarray(boffs),
+            )
+        # (no donation: the trimmed output has a different shape, so the
+        # buffers can't alias — the margin copy is freed right after)
+        buf = jax.jit(lambda b: b[: len(names), :t_final])(buf)
+        return ResidentSequences(names, buf, np.asarray(total, np.int64))
+
     def extract_embeddings(
         self, waveforms: Mapping[str, np.ndarray], verbose: bool = True
     ) -> pd.DataFrame:
@@ -444,6 +562,126 @@ class Wav2Vec2Extractor:
             row["filename"] = name
             rows.append(row)
         return pd.DataFrame(rows)
+
+
+class ResidentSequences:
+    """A corpus of (T, hidden) sequences resident in device HBM.
+
+    Produced by :meth:`Wav2Vec2Extractor.extract_sequences_resident`:
+    ``x`` is one padded (N+1, T_pad, H) f32 buffer (row N is scratch),
+    ``lengths[i]`` the true frame count of ``names[i]``. Behaves as a
+    read-only ``Mapping[str, np.ndarray]`` for host consumers — each lookup
+    downloads just that row (cached) — while device consumers (the DL CV
+    engines via ``train.loops.DeviceCorpus.from_resident``) read the buffer
+    with zero transfer.
+    """
+
+    is_resident_sequences = True  # duck-type marker for the CV engines
+
+    def __init__(self, names, x, lengths):
+        self.names = list(names)
+        self.x = x  # (N+1, T_pad, H) device buffer, row N scratch
+        self.lengths = np.asarray(lengths, np.int64)
+        self._index = {n: i for i, n in enumerate(self.names)}
+        self._host_cache: Dict[int, np.ndarray] = {}
+
+    def row(self, name: str) -> int:
+        """Buffer row index of ``name`` (for resident-corpus adoption)."""
+        return self._index[name]
+
+    # --- Mapping façade ----------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __iter__(self):
+        return iter(self.names)
+
+    def __contains__(self, name) -> bool:
+        return name in self._index
+
+    def keys(self):
+        return list(self.names)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        i = self._index[name]
+        seq = self._host_cache.get(i)
+        if seq is None:
+            seq = self._host_cache[i] = np.asarray(
+                self.x[i, : int(self.lengths[i])], np.float32
+            )
+        return seq
+
+    def items(self):
+        return [(n, self[n]) for n in self.names]
+
+    def regroup(
+        self, groups: Mapping[str, List[str]], align: int = 128
+    ) -> "ResidentSequences":
+        """Concatenate member sequences into new keyed sequences, on device.
+
+        The resident twin of ``data.aggregate.aggregate_interview_sequences``
+        (reference src/utils.py:61-96: per-participant vstack of clip
+        sequences in metadata order) and of nb03's combined-set vstack —
+        ``groups`` maps each new key to its ordered member names; members
+        missing from this corpus are skipped; groups with no surviving
+        members are omitted. Runs as one jitted copy program per source
+        buffer shape: no sequence ever crosses the link.
+        """
+        import jax
+
+        kept: List[Tuple[str, List[int]]] = []
+        for key, members in groups.items():
+            idxs = [self._index[m] for m in members if m in self._index]
+            if idxs:
+                kept.append((key, idxs))
+        if not kept:
+            return ResidentSequences([], None, np.zeros(0, np.int64))
+        new_names = [k for k, _ in kept]
+        rows, offs, srcs = [], [], []
+        totals = []
+        for new_row, (_, idxs) in enumerate(kept):
+            off = 0
+            for i in idxs:
+                srcs.append(i)
+                rows.append(new_row)
+                offs.append(off)
+                off += int(self.lengths[i])
+            totals.append(off)
+        t_src = int(self.x.shape[1])
+        # each copy writes a full t_src-wide zero-masked slice; segments of
+        # one group are written in ascending-offset order inside the
+        # sequential fori_loop, so a segment's zero tail is overwritten by
+        # its successors and only the final tail lands in padding — the
+        # buffer extends t_src past the last offset so no write start is
+        # ever clamped; trimmed to the host-equivalent shape on return
+        t_final = max(align, -(-max(totals) // align) * align)
+        t_pad = -(-(max(totals) + t_src) // align) * align
+        hdim = int(self.x.shape[2])
+
+        def copy(src_buf, src_lens, srcs_, rows_, offs_):
+            buf = jnp.zeros((len(new_names), t_pad, hdim), jnp.float32)
+            t = src_buf.shape[1]
+            frame = jnp.arange(t)[:, None]
+
+            def body(k, b):
+                i = srcs_[k]
+                seg = jnp.where(frame < src_lens[i], src_buf[i], 0.0)
+                return jax.lax.dynamic_update_slice(
+                    b, seg[None], (rows_[k], offs_[k], 0)
+                )
+
+            return jax.lax.fori_loop(0, len(srcs_), body, buf)[:, :t_final]
+
+        buf = jax.jit(copy)(
+            self.x, jnp.asarray(self.lengths, jnp.int32),
+            jnp.asarray(np.asarray(srcs, np.int32)),
+            jnp.asarray(np.asarray(rows, np.int32)),
+            jnp.asarray(np.asarray(offs, np.int32)),
+        )
+        return ResidentSequences(
+            new_names, buf, np.asarray(totals, np.int64)
+        )
 
 
 def _load_waveforms(

@@ -541,10 +541,47 @@ class DeviceCorpus:
     def view(self, idx: np.ndarray) -> "SeqView":
         return SeqView(self, np.asarray(idx, np.int64))
 
+    @classmethod
+    def from_resident(cls, resident, sharding=None) -> "DeviceCorpus":
+        """Zero-copy corpus over an already-device-resident buffer (the
+        fused extract→train handoff: features.wav2vec2.ResidentSequences).
+
+        No transfer happens here: the extractor's (N+1, T_pad, H) buffer is
+        adopted as-is (the scratch row N is never gathered — fold/eval
+        index programs only reference real rows). Host-side row access
+        (``.seqs[i]``) downloads lazily, used only by streaming-path
+        fallbacks."""
+        self = cls.__new__(cls)
+        x = resident.x
+        lens = jnp.asarray(np.asarray(resident.lengths, np.int32))
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
+            lens = jax.device_put(lens, sharding)
+        self.x = x
+        self.lengths = lens
+        self.host_lengths = np.asarray(resident.lengths, np.int64)
+        self.seqs = _LazyRows(resident)
+        return self
+
     @staticmethod
     def nbytes_estimate(sequences: Sequence[np.ndarray], align: int = 128) -> int:
         t_pad = max(align, -(-max(len(s) for s in sequences) // align) * align)
         return 4 * len(sequences) * t_pad * int(np.asarray(sequences[0]).shape[1])
+
+
+class _LazyRows:
+    """List-of-arrays façade over a resident corpus that downloads a row
+    only when indexed (and caches it) — host fallbacks stay functional
+    without defeating the zero-transfer handoff."""
+
+    def __init__(self, resident):
+        self._resident = resident
+
+    def __len__(self) -> int:
+        return len(self._resident.names)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self._resident[self._resident.names[i]]
 
 
 class SeqView:
@@ -881,6 +918,23 @@ def _device_fold_fits(train_sequences, val_sequences, cfg) -> bool:
     return n_bytes <= cfg.device_fold_budget_bytes
 
 
+def _init_example(train_sequences, cfg) -> np.ndarray:
+    """Tiny (1, min_bucket, D) example for parameter init. Param shapes
+    depend only on the feature dim, so resident-corpus views read D from
+    the device buffer's metadata instead of downloading a row (the
+    fused-handoff path must stay zero-transfer)."""
+    if isinstance(train_sequences, SeqView):
+        d = int(train_sequences.corpus.x.shape[2])
+        return np.zeros((1, cfg.min_bucket, d), np.float32)
+    from ..data.batching import pad_batch
+
+    example, _ = pad_batch(
+        [train_sequences[0][: min(len(train_sequences[0]), 2)]],
+        min_bucket=cfg.min_bucket,
+    )
+    return example
+
+
 def train_trials_device(
     trainer: Trainer,
     train_sequences: Sequence[np.ndarray],
@@ -914,13 +968,9 @@ def train_trials_device(
     if len(learning_rates) != len(dropout_rates):
         raise ValueError("learning_rates and dropout_rates must align")
     k = len(learning_rates)
-    from ..data.batching import pad_batch
 
     rng = jax.random.PRNGKey(cfg.seed)
-    example, _ = pad_batch(
-        [train_sequences[0][: min(len(train_sequences[0]), 2)]],
-        min_bucket=cfg.min_bucket,
-    )
+    example = _init_example(train_sequences, cfg)
     rng, init_rng = jax.random.split(rng)
     state = trainer.init_state(init_rng, jnp.asarray(example), cfg.learning_rate)
 
@@ -1009,12 +1059,7 @@ def train_model(
     from ..data.batching import batch_iterator, pad_batch
 
     rng = jax.random.PRNGKey(cfg.seed)
-    # init on a tiny slice: shapes are all that matter, and an eager init on
-    # a full-length bucketed sequence dispatches hundreds of ops per call
-    example, _ = pad_batch(
-        [train_sequences[0][: min(len(train_sequences[0]), 2)]],
-        min_bucket=cfg.min_bucket,
-    )
+    example = _init_example(train_sequences, cfg)
     rng, init_rng = jax.random.split(rng)
     state = trainer.init_state(init_rng, jnp.asarray(example), cfg.learning_rate)
 

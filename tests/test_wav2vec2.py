@@ -352,3 +352,102 @@ def test_front_doors_handle_empty_dataframe():
     empty = pd.DataFrame()
     assert extract_wav2vec2_sequences(empty) == {}
     assert extract_wav2vec2_embeddings(empty).empty
+
+
+class TestResidentSequences:
+    """Fused extract→train handoff (VERDICT r4 item 4): sequences extracted
+    straight into a device-resident buffer, no host round trip."""
+
+    def _corpus(self, n=3, seed=0):
+        rng = np.random.default_rng(seed)
+        # lengths spanning multi-chunk (>5 s) and partial final chunks
+        secs = [6.2, 4.0, 9.5, 5.0, 1.1][:n]
+        return {
+            f"f{i}.wav": (0.1 * rng.normal(size=int(s * 16000))).astype(np.float32)
+            for i, s in enumerate(secs)
+        }
+
+    def test_matches_extract_sequences(self):
+        ex = _tiny_extractor()
+        waves = self._corpus(5)
+        host = ex.extract_sequences(waves, verbose=False)
+        res = ex.extract_sequences_resident(waves, verbose=False)
+        assert set(res.keys()) == set(host.keys())
+        for name, seq in host.items():
+            got = res[name]
+            assert got.shape == seq.shape
+            np.testing.assert_allclose(got, seq, atol=1e-5, rtol=1e-5)
+        # padding beyond each row's length is exactly zero (scatter masks)
+        x = np.asarray(res.x)
+        for name in res.names:
+            i = res.row(name)
+            assert np.all(x[i, int(res.lengths[i]):] == 0.0)
+
+    def test_short_file_skipped(self):
+        ex = _tiny_extractor()
+        res = ex.extract_sequences_resident(
+            {"x.wav": np.zeros(1000, np.float32)}, verbose=False
+        )
+        assert len(res) == 0
+
+    def test_regroup_matches_host_aggregation(self):
+        from robust_speech_analysis_framework_tpu.data.aggregate import (
+            aggregate_interview_sequences,
+        )
+        import pandas as pd
+
+        ex = _tiny_extractor()
+        waves = self._corpus(4)
+        host = ex.extract_sequences(waves, verbose=False)
+        res = ex.extract_sequences_resident(waves, verbose=False)
+        meta = pd.DataFrame([
+            {"filename": "f0.wav", "unique_participant_id": "p0"},
+            {"filename": "f2.wav", "unique_participant_id": "p0"},
+            {"filename": "f1.wav", "unique_participant_id": "p1"},
+            {"filename": "f3.wav", "unique_participant_id": "p2"},
+            {"filename": "missing.wav", "unique_participant_id": "p3"},
+        ])
+        want = aggregate_interview_sequences(host, meta)
+        groups = {
+            pid: list(g["filename"])
+            for pid, g in meta.groupby("unique_participant_id", sort=False)
+        }
+        got = res.regroup(groups)
+        assert set(got.keys()) == set(want.keys())
+        for pid in want:
+            np.testing.assert_allclose(
+                got[pid], want[pid], atol=1e-5, rtol=1e-5
+            )
+
+    def test_dl_cv_on_resident_matches_host(self):
+        """The CV engine consumes a ResidentSequences with identical results
+        to the same sequences passed as host arrays."""
+        import pandas as pd
+
+        from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+            run_dl_standard_kfold_cv,
+        )
+
+        ex = _tiny_extractor()
+        rng = np.random.default_rng(3)
+        waves = {
+            f"{i:02d}_{'P' if i % 2 else 'C'}":
+                (0.1 * rng.normal(size=int(16000 * (1 + 0.2 * i))
+                                  )).astype(np.float32)
+            for i in range(20)
+        }
+        res = ex.extract_sequences_resident(waves, verbose=False)
+        host = ex.extract_sequences(waves, verbose=False)
+        meta = pd.DataFrame([
+            {"unique_participant_id": k,
+             "label": "Patient" if k.endswith("P") else "Control"}
+            for k in waves
+        ])
+        hp = {"learning_rate": 1e-3, "dropout_rate": 0.3,
+              "cnn_out_channels": 32, "lstm_hidden_dim": 64,
+              "activation_fn": "silu"}
+        kw = dict(n_splits=2, epochs=2, patience=3, batch_size=4)
+        df_r, _, _, w_r = run_dl_standard_kfold_cv(res, meta, hp, **kw)
+        df_h, _, _, w_h = run_dl_standard_kfold_cv(host, meta, hp, **kw)
+        pd.testing.assert_frame_equal(df_r, df_h, atol=1e-5)
+        np.testing.assert_allclose(w_r, w_h, atol=1e-5, rtol=1e-4)
