@@ -536,6 +536,10 @@ def bench_battery(quick: bool) -> dict:
         run_dl_nested_cv, run_dl_standard_kfold_cv,
     )
 
+    from robust_speech_analysis_framework_tpu.utils.profiling import (
+        span_report,
+    )
+
     # absorb tunnel wake-up so the timings measure our cost, not the link's
     np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256))))
 
@@ -581,7 +585,9 @@ def bench_battery(quick: bool) -> dict:
         return {"svm18_seconds": svm_dt, "dl6_seconds": dl_dt,
                 "battery_seconds": svm_dt + dl_dt}
 
+    span_report(reset=True)
     first = run_once()
+    first_spans = span_report(reset=True)
     steady = run_once()
     return {
         **{k: v for k, v in first.items()},
@@ -589,6 +595,9 @@ def bench_battery(quick: bool) -> dict:
            for k, v in steady.items()},
         "n_svm_experiments": 2 * len(svm_sets),
         "n_dl_experiments": 2 * len(seq_sets),
+        # first-pass decomposition (utils.profiling spans): AOT deserialize
+        # vs trace+export vs init vs corpus upload — what the cold wall IS
+        "first_pass_spans": first_spans,
     }
 
 

@@ -144,7 +144,18 @@ def _corpus_budget_bytes() -> int:
     Uses ``memory_stats()['bytes_limit']`` where the backend reports it
     (TPU does), keeping the corpus to ≤ 1/4 of HBM so fold activations,
     lane-batched trial states and XLA scratch still fit; falls back to a
-    4 GiB literal on backends without stats (CPU)."""
+    4 GiB literal on backends without stats (CPU). ``RSAF_CORPUS_BUDGET_BYTES``
+    overrides both — workloads that KNOW their activation envelope (the
+    reference-scale battery: big corpus, small fold working set) can give
+    the corpus more of HBM than the conservative 1/4 default."""
+    import os
+
+    env = os.environ.get("RSAF_CORPUS_BUDGET_BYTES")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
     import jax
 
     try:

@@ -352,20 +352,48 @@ class Trainer:
             self._fold_cache[key] = fn
         return fn
 
-    def _trials_eval_fn(self, masked: bool, gather: bool):
-        """Jitted lane-vmapped eval step for a stacked trial TrainState."""
-        key = ("trials_eval", masked, gather)
+    def _trials_eval_fn(self, masked: bool, gather: bool, args=None):
+        """Jitted lane-vmapped eval step for a stacked trial TrainState.
+
+        With ``args`` (single-device callers), the program is backed by the
+        disk ``jax.export`` cache keyed on the argument shapes — the
+        lane-batched trial eval was the one battery program still re-traced
+        per fresh process (r4 VERDICT item 2). Multi-device/sharded args
+        (or args=None) fall back to plain jit, which re-specializes freely.
+        """
+
+        if gather:
+            f = lambda st, x, ln, idx: self._eval_step_impl(  # noqa: E731
+                st, x[idx], ln[idx], masked
+            )
+            axes = (0, None, None, None)
+        else:
+            f = lambda st, x, ln: self._eval_step_impl(st, x, ln, masked)  # noqa: E731
+            axes = (0, None, None)
+        build = lambda: jax.jit(jax.vmap(f, in_axes=axes))  # noqa: E731
+
+        if args is None:
+            key = ("trials_eval", masked, gather)
+            fn = self._fold_cache.get(key)
+            if fn is None:
+                fn = self._fold_cache[key] = build()
+            return fn
+        key = ("trials_eval", masked, gather,
+               tuple(tuple(jnp.shape(a)) for a in jax.tree_util.tree_leaves(args)))
         fn = self._fold_cache.get(key)
         if fn is None:
-            if gather:
-                f = lambda st, x, ln, idx: self._eval_step_impl(
-                    st, x[idx], ln[idx], masked
+            try:
+                from .aot_cache import load_or_export, program_cache_key
+
+                disk_key = program_cache_key(
+                    repr(self.model), key[:3], args,
+                    sources=("train/loops.py", "models/cnn_lstm.py",
+                             "ops/pallas/lstm.py"),
                 )
-                axes = (0, None, None, None)
-            else:
-                f = lambda st, x, ln: self._eval_step_impl(st, x, ln, masked)
-                axes = (0, None, None)
-            fn = self._fold_cache[key] = jax.jit(jax.vmap(f, in_axes=axes))
+                fn = load_or_export(build, disk_key, args, tag="trials_eval")
+            except Exception:  # cache infra must never block the eval pass
+                fn = build()
+            self._fold_cache[key] = fn
         return fn
 
     def eval_logits_trials_deferred(
@@ -385,24 +413,30 @@ class Trainer:
         outs, idx_groups = [], []
         if isinstance(sequences, SeqView):
             corpus = sequences.corpus
-            fn = self._trials_eval_fn(cfg.use_length_masking, gather=True)
             for start in range(0, n, cfg.batch_size):
                 loc = np.arange(start, min(start + cfg.batch_size, n))
                 idx_groups.append(loc)
-                outs.append(fn(
+                args = (
                     states, corpus.x, corpus.lengths,
                     sequences.idx[loc].astype(np.int32),
-                ))
+                )
+                fn = self._trials_eval_fn(
+                    cfg.use_length_masking, gather=True, args=args
+                )
+                outs.append(fn(*args))
         else:
             from ..data.batching import length_sorted_batches, pad_batch
 
-            fn = self._trials_eval_fn(cfg.use_length_masking, gather=False)
             for idx in length_sorted_batches(sequences, cfg.batch_size):
                 batch, lengths = pad_batch(
                     [sequences[i] for i in idx], min_bucket=cfg.min_bucket
                 )
                 idx_groups.append(idx)
-                outs.append(fn(states, batch, lengths))
+                args = (states, batch, lengths)
+                fn = self._trials_eval_fn(
+                    cfg.use_length_masking, gather=False, args=args
+                )
+                outs.append(fn(*args))
 
         def finalize(host):
             logits_out = np.zeros((k, n, self.model.num_classes), np.float32)
