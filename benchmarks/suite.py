@@ -270,7 +270,106 @@ def bench_wav2vec2(n_files: int, seconds: float) -> dict:
         wall_per_batch = (ex.batch_size * 4.0) / out["audio_sec_per_sec"]
         _attach_mfu(out, cost["flops"], wall_per_batch)
     out["embeddings_audio_sec_per_sec"] = out["fast_embeddings_audio_sec_per_sec"]
+    # the link's speed-of-light for this preset: zero-compute throughput if
+    # the measured link were the only cost. Recorded so a below-target
+    # contract number is attributable (VERDICT r4 item 4: ">=300 au-s/s or
+    # a documented proof the tunnel floor makes that unreachable").
+    try:
+        link = link_probe()
+        up_per_as = 1.25 * SR * 2 / 2**20  # int16 chunks, x1.25 overlap
+        down_per_as = 1.25 * 49.9 * 768 * seq_bytes / 2**20
+        out["link_floor_audio_sec_per_sec"] = 1.0 / (
+            up_per_as / link["up_mb_per_s"]
+            + down_per_as / link["down_mb_per_s"]
+        )
+        out["link_floor_probe"] = link
+    except Exception:
+        pass
     return out
+
+
+def bench_wav2vec2_fused(n_files: int, seconds: float) -> dict:
+    """Fused extract→train handoff vs the round-trip path (VERDICT r4
+    item 4): extract the corpus's Wav2Vec2 sequences and run a CNN-LSTM
+    standard K-fold on them, (a) fused — sequences scatter straight into a
+    device-resident corpus, zero sequence download — and (b) unfused —
+    sequences stream to host, then re-upload into a DeviceCorpus (the
+    reference artifact flow, src/foundation_model_extractor.py:97-124 →
+    dl_cv_strategies.py)."""
+    import warnings
+
+    import pandas as pd
+
+    from robust_speech_analysis_framework_tpu.features.wav2vec2 import (
+        Wav2Vec2Extractor,
+    )
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        run_dl_standard_kfold_cv,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ex = Wav2Vec2Extractor(
+            batch_size=16, allow_random_init=True, upload_dtype=np.int16
+        )
+    n_files = max(n_files * 3, 20)  # >=20 participants for the inner split
+    waves = {
+        f"{i:02d}_{'P' if i % 2 else 'C'}": _speech(seconds, 120 + 4 * i, i)
+        for i in range(n_files)
+    }
+    meta = pd.DataFrame([
+        {"unique_participant_id": k,
+         "label": "Patient" if k.endswith("P") else "Control"}
+        for k in waves
+    ])
+    hp = {"learning_rate": 1e-3, "dropout_rate": 0.3,
+          "cnn_out_channels": 64, "lstm_hidden_dim": 64,
+          "activation_fn": "silu"}
+    kw = dict(n_splits=3, epochs=3, patience=4, batch_size=4)
+
+    # warm both paths (compile + AOT loads) on a disjoint tiny corpus
+    warm = {f"{90 + i:02d}_{'P' if i % 2 else 'C'}": _speech(5.0, 140, 50 + i)
+            for i in range(20)}
+    wmeta = pd.DataFrame([
+        {"unique_participant_id": k,
+         "label": "Patient" if k.endswith("P") else "Control"}
+        for k in warm
+    ])
+    run_dl_standard_kfold_cv(
+        ex.extract_sequences_resident(warm, verbose=False), wmeta, hp, **kw)
+    run_dl_standard_kfold_cv(
+        ex.extract_sequences(warm, verbose=False), wmeta, hp, **kw)
+
+    t0 = time.perf_counter()
+    res = ex.extract_sequences_resident(waves, verbose=False)
+    run_dl_standard_kfold_cv(res, meta, hp, **kw)
+    fused_dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    host_seqs = ex.extract_sequences(waves, verbose=False)
+    run_dl_standard_kfold_cv(host_seqs, meta, hp, **kw)
+    unfused_dt = time.perf_counter() - t0
+
+    frames = sum(s.shape[0] for s in host_seqs.values())
+    audio = n_files * seconds
+    return {
+        "audio_seconds": audio,
+        "fused_seconds": fused_dt,
+        "unfused_seconds": unfused_dt,
+        "fused_audio_sec_per_sec": audio / fused_dt,
+        "unfused_audio_sec_per_sec": audio / unfused_dt,
+        "speedup": unfused_dt / fused_dt,
+        # by construction: the fused path downloads per-fold logits/metrics
+        # only — no (T,768) sequence ever crosses the link
+        "fused_sequence_download_mb": 0.0,
+        "unfused_sequence_download_mb": frames * 768 * 4 / 2**20,
+        "unfused_sequence_reupload_mb": (
+            float(np.prod(res.x.shape)) * 4 / 2**20
+        ),
+        "wall_seconds": fused_dt,
+        "payload_up_mb": audio * 1.25 * SR * 2 / 2**20,
+        "payload_down_mb": 0.0,
+    }
 
 
 # Peak dense-matmul throughput per chip used for MFU reporting, by
@@ -560,6 +659,20 @@ def bench_battery(quick: bool) -> dict:
     inner_epochs = 2
     trial_batch = n_trials
 
+    # one resident upload per sequence set, shared by the nested AND
+    # standard engines and by the steady pass — built lazily INSIDE the
+    # timed region so the first pass honestly pays the (single) upload
+    from robust_speech_analysis_framework_tpu.train.loops import (
+        ResidentCorpus,
+    )
+
+    resident: dict = {}
+
+    def get_set(kind):
+        if kind not in resident:
+            resident[kind] = ResidentCorpus(seq_sets[kind])
+        return resident[kind]
+
     def run_once() -> dict:
         t0 = time.perf_counter()
         for name, (X, y) in svm_sets.items():
@@ -569,7 +682,8 @@ def bench_battery(quick: bool) -> dict:
             run_svm_nested_kfold_cv(X, y)
         svm_dt = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for kind, seqs in seq_sets.items():
+        for kind in seq_sets:
+            seqs = get_set(kind)
             df, _, _ = run_dl_nested_cv(
                 seqs, meta, n_splits_outer=2, n_splits_inner=3,
                 n_trials=n_trials, epochs=epochs, patience=epochs + 1,
@@ -602,7 +716,7 @@ def bench_battery(quick: bool) -> dict:
 
 
 STAGES = ["mshds_extract", "opensmile_extract", "wav2vec2_extract",
-          "cnn_lstm_infer", "cv_round", "battery"]
+          "wav2vec2_fused", "cnn_lstm_infer", "cv_round", "battery"]
 
 
 def link_probe(n_mb: int = 8) -> dict:
@@ -637,6 +751,8 @@ def run_stage(name: str, quick: bool) -> dict:
         return bench_opensmile(n_files, seconds)
     if name == "wav2vec2_extract":
         return bench_wav2vec2(n_files, seconds)
+    if name == "wav2vec2_fused":
+        return bench_wav2vec2_fused(n_files, seconds)
     if name == "cnn_lstm_infer":
         return bench_cnn_lstm()
     if name == "cv_round":

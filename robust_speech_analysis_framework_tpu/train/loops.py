@@ -127,7 +127,10 @@ class Trainer:
 
         # jitted: flax's eager init would otherwise run the whole forward
         # (LSTM scan included) one dispatch at a time — seconds per fold on
-        # a tunneled chip, and folds/trials re-init constantly
+        # a tunneled chip, and folds/trials re-init constantly. (NOT disk-
+        # export-backed: exporting the init program segfaulted the virtual
+        # 8-device CPU test env — r5; the ~seconds of per-arch init trace
+        # per fresh process is acceptable.)
         if not hasattr(self, "_init_fn"):
             self._init_fn = jax.jit(
                 lambda r, ex: self.model.init(
@@ -578,13 +581,17 @@ class DeviceCorpus:
     @classmethod
     def from_resident(cls, resident, sharding=None) -> "DeviceCorpus":
         """Zero-copy corpus over an already-device-resident buffer (the
-        fused extract→train handoff: features.wav2vec2.ResidentSequences).
+        fused extract→train handoff: features.wav2vec2.ResidentSequences,
+        or a :class:`ResidentCorpus` pre-upload).
 
         No transfer happens here: the extractor's (N+1, T_pad, H) buffer is
         adopted as-is (the scratch row N is never gathered — fold/eval
         index programs only reference real rows). Host-side row access
         (``.seqs[i]``) downloads lazily, used only by streaming-path
         fallbacks."""
+        own = getattr(resident, "device_corpus", None)
+        if own is not None:  # ResidentCorpus already holds one
+            return own()
         self = cls.__new__(cls)
         x = resident.x
         lens = jnp.asarray(np.asarray(resident.lengths, np.int32))
@@ -601,6 +608,60 @@ class DeviceCorpus:
     def nbytes_estimate(sequences: Sequence[np.ndarray], align: int = 128) -> int:
         t_pad = max(align, -(-max(len(s) for s in sequences) // align) * align)
         return 4 * len(sequences) * t_pad * int(np.asarray(sequences[0]).shape[1])
+
+
+class ResidentCorpus:
+    """A host sequence mapping plus its ONE-TIME device upload, reusable
+    across CV calls.
+
+    The CV engines upload a resident corpus per call (`_as_device_corpus`),
+    so running the nested AND standard engine over the same corpus — the
+    battery / experiments orchestration shape — pays the (N, T, D) upload
+    twice. Wrapping the dict once::
+
+        seqs = ResidentCorpus(sequences_dict)
+        run_dl_nested_cv(seqs, meta, ...)       # adopts the resident buffer
+        run_dl_standard_kfold_cv(seqs, meta, ...)  # zero re-upload
+
+    keeps one buffer for every engine pass (the engines detect it through
+    the same duck-type marker as the fused wav2vec2 handoff). Behaves as a
+    read-only Mapping for host consumers. The arrays are adopted by
+    reference — don't mutate them afterwards.
+    """
+
+    is_resident_sequences = True  # duck-type marker for the CV engines
+
+    def __init__(self, sequences_dict, align: int = 128, sharding=None):
+        self.names = list(sequences_dict.keys())
+        self._index = {n: i for i, n in enumerate(self.names)}
+        self._corpus = DeviceCorpus(
+            [sequences_dict[n] for n in self.names], align=align,
+            sharding=sharding,
+        )
+
+    def device_corpus(self) -> DeviceCorpus:
+        return self._corpus
+
+    def row(self, name: str) -> int:
+        return self._index[name]
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __iter__(self):
+        return iter(self.names)
+
+    def __contains__(self, name) -> bool:
+        return name in self._index
+
+    def keys(self):
+        return list(self.names)
+
+    def __getitem__(self, name):
+        return self._corpus.seqs[self._index[name]]
+
+    def items(self):
+        return [(n, self[n]) for n in self.names]
 
 
 class _LazyRows:
