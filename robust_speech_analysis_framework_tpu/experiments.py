@@ -380,6 +380,24 @@ def run_cnn_lstm_experiments(
     results: Dict[str, dict] = {}
 
     for kind, seqs in sets.items():
+        try:
+            # one device upload per data type, shared by the nested search,
+            # the standard K-fold AND the final-model training (three
+            # engine passes re-uploaded the same corpus before)
+            from .eval.dl_cv import _corpus_budget_bytes
+            from .train.loops import DeviceCorpus, ResidentCorpus
+
+            if DeviceCorpus.nbytes_estimate(
+                list(seqs.values())
+            ) <= _corpus_budget_bytes():
+                sharding = None
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sharding = NamedSharding(mesh, PartitionSpec())
+                seqs = ResidentCorpus(seqs, sharding=sharding)
+        except (RuntimeError, MemoryError):
+            pass  # fall back to per-engine upload/streaming
         tuned_path = os.path.join(
             out_dir, f"results_wav2vec2_cnn_lstm_tuned_{kind}.pkl"
         )
@@ -435,7 +453,9 @@ def _train_final_model(
     skip_existing=True,
 ):
     """Final per-datatype model artifact (nb03 cell 4 schema)."""
-    from .eval.dl_cv import align_sequences_and_labels, _TrainerCache
+    from .eval.dl_cv import (
+        _input_dim, _subset, _TrainerCache, align_sequences_and_labels,
+    )
     from .eval.splits import train_test_indices
     from .train import TrainConfig, train_model
     from .train.checkpoints import save_model_checkpoint
@@ -444,7 +464,7 @@ def _train_final_model(
     if skip_existing and os.path.exists(path):
         return path
     X, y, _ = align_sequences_and_labels(seqs, meta)
-    cache = _TrainerCache(input_dim=X[0].shape[1])
+    cache = _TrainerCache(input_dim=_input_dim(X))
     trainer = cache.get(hyperparams)
     tr, val = train_test_indices(y, n_splits=5, seed=42)
     cfg = TrainConfig(
@@ -453,7 +473,7 @@ def _train_final_model(
         dropout_rate=float(hyperparams.get("dropout_rate", 0.5)),
     )
     state, th, vh = train_model(
-        trainer, [X[i] for i in tr], y[tr], [X[i] for i in val], y[val], cfg
+        trainer, _subset(X, tr), y[tr], _subset(X, val), y[val], cfg
     )
     save_model_checkpoint(
         path, hyperparams, {"params": state.params, "batch_stats": state.batch_stats},
