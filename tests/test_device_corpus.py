@@ -124,3 +124,47 @@ def test_eval_gather_program_rekeys_on_corpus_shape():
         np.testing.assert_allclose(logits, ref, rtol=1e-4, atol=1e-5)
         outs.append(logits)
     assert outs[0].shape == outs[1].shape == (4, 2)
+
+
+def test_resident_corpus_shared_across_engine_passes():
+    """ResidentCorpus: one upload serves nested AND standard engine passes
+    with results identical to the plain-dict path (r5: the battery uploaded
+    each sequence set twice)."""
+    import pandas as pd
+
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        run_dl_standard_kfold_cv,
+    )
+    from robust_speech_analysis_framework_tpu.train.loops import (
+        DeviceCorpus, ResidentCorpus,
+    )
+
+    rng = np.random.default_rng(11)
+    seqs = {
+        f"{i:02d}_{'P' if i % 2 else 'C'}":
+            rng.normal(size=(int(rng.integers(16, 48)), 8)).astype(np.float32)
+        for i in range(20)
+    }
+    meta = pd.DataFrame([
+        {"unique_participant_id": k,
+         "label": "Patient" if k.endswith("P") else "Control"}
+        for k in seqs
+    ])
+    hp = {"learning_rate": 1e-3, "dropout_rate": 0.3,
+          "cnn_out_channels": 4, "lstm_hidden_dim": 4,
+          "activation_fn": "silu"}
+    # default align (128) — the engines' own upload pads identically, so
+    # train-mode BatchNorm sees the same padding on both paths
+    rc = ResidentCorpus(seqs)
+    # mapping façade
+    assert set(rc.keys()) == set(seqs.keys())
+    k0 = next(iter(seqs))
+    np.testing.assert_array_equal(rc[k0], seqs[k0])
+    # from_resident adopts the SAME DeviceCorpus (no re-upload)
+    assert DeviceCorpus.from_resident(rc) is rc.device_corpus()
+
+    kw = dict(n_splits=2, epochs=2, patience=3, batch_size=4)
+    df_r, _, _, w_r = run_dl_standard_kfold_cv(rc, meta, hp, **kw)
+    df_h, _, _, w_h = run_dl_standard_kfold_cv(seqs, meta, hp, **kw)
+    pd.testing.assert_frame_equal(df_r, df_h)
+    np.testing.assert_allclose(w_r, w_h, atol=1e-6)
