@@ -60,8 +60,10 @@ def _kernel_blockdiag(gates_ref, whb_ref, out_ref, h_ref, c_ref, *,
     hdim = gh // groups
 
     def step(t, carry):
-        h, c = carry  # (B, G*H)
-        z = gates_ref[t] + jnp.dot(h, whb, preferred_element_type=jnp.float32)
+        h, c = carry  # (B, G*H) f32
+        z = gates_ref[t].astype(jnp.float32) + jnp.dot(
+            h, whb, preferred_element_type=jnp.float32
+        )
         # z is (B, G*4H) group-major: [g0_i g0_f g0_g g0_o g1_i ...]
         zb = z.reshape(z.shape[0], groups, 4, hdim)
         i = jax.nn.sigmoid(zb[:, :, 0])
@@ -71,7 +73,7 @@ def _kernel_blockdiag(gates_ref, whb_ref, out_ref, h_ref, c_ref, *,
         cb = c.reshape(c.shape[0], groups, hdim)
         c_new = f * cb + i * g_
         h_new = (o * jnp.tanh(c_new)).reshape(h.shape)
-        out_ref[t] = h_new
+        out_ref[t] = h_new.astype(out_ref.dtype)
         return h_new, c_new.reshape(c.shape)
 
     h, c = jax.lax.fori_loop(
@@ -81,16 +83,30 @@ def _kernel_blockdiag(gates_ref, whb_ref, out_ref, h_ref, c_ref, *,
     c_ref[:] = c
 
 
-def lstm_blockdiag(gates, wh, block_t: int = 128, unroll: int = 1):
+def lstm_blockdiag(gates, wh, block_t: int = 128, unroll=1,
+                   gate_dtype=None):
     """gates (T, G, B, 4H) + wh (G, H, 4H) → (T, G, B, H), via the
-    block-diagonal single-matmul kernel."""
+    block-diagonal single-matmul kernel. ``gate_dtype=jnp.bfloat16``
+    streams the gate inputs (and h outputs) in bf16 — halves the VMEM
+    pipeline traffic and doubles the feasible time block; state and the
+    recurrent matmul stay f32."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from robust_speech_analysis_framework_tpu.ops.pallas.lstm import (
+        _auto_block_t,
+    )
+
     t, g, b, four_h = gates.shape
     h_dim = four_h // 4
+    if gate_dtype is not None:
+        gates = gates.astype(gate_dtype)
+    esize = jnp.dtype(gates.dtype).itemsize
+    block_t = _auto_block_t(g * b * (four_h + h_dim) * esize, block_t)
+    if unroll == "full":  # Mosaic supports only unroll=1 or num_steps
+        unroll = block_t
 
     # lay gates out (T, B, G*4H) group-major
     gflat = jnp.swapaxes(gates, 1, 2).reshape(t, b, g * four_h)
@@ -121,8 +137,8 @@ def lstm_blockdiag(gates, wh, block_t: int = 128, unroll: int = 1):
             pltpu.VMEM((b, g * h_dim), jnp.float32),
         ],
     )(gflat, whb)
-    # (T, B, G*H) group-major → (T, G, B, H)
-    out = out[:t].reshape(t, b, g, h_dim)
+    # (T, B, G*H) group-major → (T, G, B, H), f32 hand-back
+    out = out[:t].reshape(t, b, g, h_dim).astype(jnp.float32)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -164,11 +180,20 @@ def main():
     if pallas_available():
         check_and_time("v0_production", lstm_scan_pallas_grouped)
     check_and_time("v1_blockdiag", jax.jit(lstm_blockdiag))
-    for u in (2, 4, 8):
-        check_and_time(
-            f"v2_blockdiag_unroll{u}",
-            jax.jit(functools.partial(lstm_blockdiag, unroll=u)),
-        )
+    check_and_time(
+        "v2_blockdiag_fullunroll",
+        jax.jit(functools.partial(lstm_blockdiag, unroll="full")),
+    )
+    import jax.numpy as _jnp
+    check_and_time(
+        "v3_blockdiag_bf16gates",
+        jax.jit(functools.partial(lstm_blockdiag, gate_dtype=_jnp.bfloat16)),
+    )
+    check_and_time(
+        "v4_blockdiag_bf16_fullunroll",
+        jax.jit(functools.partial(lstm_blockdiag, unroll="full",
+                                  gate_dtype=_jnp.bfloat16)),
+    )
     print(json.dumps(results, indent=1))
 
 

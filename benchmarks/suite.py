@@ -327,9 +327,15 @@ def bench_wav2vec2_fused(n_files: int, seconds: float) -> dict:
           "activation_fn": "silu"}
     kw = dict(n_splits=3, epochs=3, patience=4, batch_size=4)
 
-    # warm both paths (compile + AOT loads) on a disjoint tiny corpus
-    warm = {f"{90 + i:02d}_{'P' if i % 2 else 'C'}": _speech(5.0, 140, 50 + i)
-            for i in range(20)}
+    # warm both paths (compile + AOT loads) at the MEASURED corpus shape —
+    # same file count and lengths, different audio — otherwise whichever
+    # path runs first eats every shape-specific compile and the comparison
+    # measures compile order, not the handoff (observed: fused 'slower' 9×)
+    warm = {
+        f"{i:02d}_{'P' if i % 2 else 'C'}": _speech(seconds, 130 + 4 * i,
+                                                    1000 + i)
+        for i in range(n_files)
+    }
     wmeta = pd.DataFrame([
         {"unique_participant_id": k,
          "label": "Patient" if k.endswith("P") else "Control"}
