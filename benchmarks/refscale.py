@@ -108,6 +108,9 @@ def measure_tpu(max_frames: int) -> dict:
         epochs=FINAL_EPOCHS, patience=FINAL_PATIENCE, batch_size=FINAL_BATCH,
         inner_epochs=INNER_EPOCHS, inner_batch_size=INNER_BATCH,
         trial_batch=8, verbose=True,
+        # rematerialized backward: 8 trial lanes × T≈16k frames of stored
+        # activations otherwise exceed HBM (measured: 23.0 GB vs 15.75 GB)
+        remat=True,
     )
     dt = time.perf_counter() - t0
     spans = span_report(reset=True)

@@ -224,6 +224,7 @@ def run_dl_standard_kfold_cv(
     seed: int = 42,
     verbose: bool = False,
     use_length_masking: bool = True,
+    remat: bool = False,
 ) -> Tuple[pd.DataFrame, List[dict], List[dict], np.ndarray]:
     """Standard stratified K-fold with fixed hyperparameters.
 
@@ -254,6 +255,7 @@ def run_dl_standard_kfold_cv(
             seed=seed + fold,
             dropout_rate=float(hyperparams.get("dropout_rate", 0.5)),
             use_length_masking=use_length_masking,
+            remat=remat,
         )
         state, hist = train_model(
             trainer,
@@ -291,6 +293,7 @@ def _inner_cv_score(
     inner_batch_size: int,
     seed: int,
     use_length_masking: bool = True,
+    remat: bool = False,
 ) -> float:
     """Mean inner-fold macro-F1 at fixed short training (reference
     _objective: 3 folds × 15 epochs × batch 4, :224-254).
@@ -313,6 +316,7 @@ def _inner_cv_score(
             seed=seed,
             dropout_rate=float(params.get("dropout_rate", 0.5)),
             use_length_masking=use_length_masking,
+            remat=remat,
             # the reference _objective trains plain Adam for a FIXED 15
             # epochs and scores the final-epoch weights — no plateau decay,
             # no best-val restore (src/dl_cv_strategies.py:234-248); both
@@ -410,6 +414,7 @@ def _inner_cv_scores_batch(
     seed: int,
     use_length_masking: bool = True,
     mesh=None,
+    remat: bool = False,
 ) -> List[float]:
     """Mean inner-fold macro-F1 for a BATCH of trials, order-preserving.
 
@@ -445,6 +450,7 @@ def _inner_cv_scores_batch(
                 seed=seed,
                 dropout_rate=rates[0],
                 use_length_masking=use_length_masking,
+                remat=remat,
                 # reference _objective semantics: fixed epochs, final
                 # weights, no plateau decay (src/dl_cv_strategies.py:234-248)
                 use_plateau=False,
@@ -485,6 +491,7 @@ def run_dl_nested_cv(
     use_length_masking: bool = True,
     trial_batch: int = 1,
     mesh=None,
+    remat: bool = False,
 ) -> Tuple[pd.DataFrame, List[dict], np.ndarray]:
     """Nested CV: per-outer-fold TPE hyperparameter search + final training.
 
@@ -523,7 +530,7 @@ def run_dl_nested_cv(
             return _inner_cv_score(
                 cache, _suggest_params(trial, space), X_tv, y_tv,
                 n_splits_inner, inner_epochs, inner_batch_size, seed,
-                use_length_masking=use_length_masking,
+                use_length_masking=use_length_masking, remat=remat,
             )
 
         study = Study(direction="maximize", sampler=TPESampler(seed=seed + fold))
@@ -546,6 +553,7 @@ def run_dl_nested_cv(
                     cache, plist, X_tv, y_tv,
                     n_splits_inner, inner_epochs, inner_batch_size, seed,
                     use_length_masking=use_length_masking, mesh=mesh,
+                    remat=remat,
                 )
                 for t, s in zip(asked, scores):
                     study.tell(t, s)
@@ -572,6 +580,7 @@ def run_dl_nested_cv(
             seed=seed + fold,
             dropout_rate=float(best_params.get("dropout_rate", 0.5)),
             use_length_masking=use_length_masking,
+            remat=remat,
         )
         state, _hist = train_model(
             trainer,

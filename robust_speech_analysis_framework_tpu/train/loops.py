@@ -62,6 +62,12 @@ class TrainConfig:
     # behaviors are selectable so each loop matches its reference twin.
     use_plateau: bool = True
     restore_best: bool = True
+    # rematerialize the forward under the loss gradient (jax.checkpoint):
+    # activations are recomputed in the backward pass instead of stored —
+    # the standard long-sequence memory lever (reference-scale sessions at
+    # 8 trial lanes × T≈16k frames otherwise exceed one chip's HBM).
+    # Numerically identical; ~30% extra forward compute.
+    remat: bool = False
     # compile every (batch, time-bucket) step shape concurrently before the
     # epoch loop: XLA compiles release the GIL (and go through a remote
     # compile service on the tunneled chip), so threads overlap what would
@@ -117,7 +123,8 @@ class Trainer:
     def __init__(self, model, adam_eps: float = 1e-8):
         self.model = model
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=1.0, eps=adam_eps)
-        self._train_step = jax.jit(self._train_step_impl, static_argnums=(3,))
+        self._train_step = jax.jit(self._train_step_impl,
+                                   static_argnums=(3, 5))
         self._eval_step = jax.jit(self._eval_step_impl, static_argnums=(3,))
         self.warmed_shapes: set = set()  # step shapes compiled on THIS trainer
         self._fold_cache: Dict[tuple, Any] = {}  # device-fold programs
@@ -172,13 +179,27 @@ class Trainer:
         return out, batch_stats
 
     def _train_step_impl(self, state: TrainState, batch_and_labels, rng, masked,
-                         dropout_rate=None):
+                         dropout_rate=None, remat=False):
         batch, lengths, labels = batch_and_labels
         if not masked:
             lengths = None
 
+        apply = self._apply
+        if remat:
+            # recompute the forward during the backward pass instead of
+            # storing its activations (TrainConfig.remat); lengths/
+            # dropout_rate ride as closed-over values so None stays static
+            def apply(params, batch_stats, batch_, lengths_, train, rng_,
+                      rate_):
+                f = jax.checkpoint(
+                    lambda p, bs, b: self._apply(
+                        p, bs, b, lengths_, train, rng_, rate_
+                    )
+                )
+                return f(params, batch_stats, batch_)
+
         def loss_fn(params):
-            logits, new_stats = self._apply(
+            logits, new_stats = apply(
                 params, state.batch_stats, batch, lengths, True, rng,
                 dropout_rate,
             )
@@ -509,6 +530,7 @@ def _warmup_step_shapes(trainer, state, cfg, train_lens, val_lens, dim) -> None:
                 rng,
                 cfg.use_length_masking,
                 rate_arg,
+                cfg.remat,
             )
         else:
             trainer._eval_step(state, batch, lengths, cfg.use_length_masking)
@@ -746,7 +768,7 @@ def _device_fold_fn(trainer: Trainer, statics: tuple):
     numerically identical.
     """
     (masked, has_rate, epochs, patience, batch_size, use_plateau,
-     restore_best, plateau_factor, plateau_patience, s_full, r,
+     restore_best, remat, plateau_factor, plateau_patience, s_full, r,
      sv_full, rv) = statics
     sce = optax.softmax_cross_entropy_with_integer_labels
 
@@ -758,7 +780,8 @@ def _device_fold_fn(trainer: Trainer, statics: tuple):
             st, key = carry
             key, sk = jax.random.split(key)
             st, loss = trainer._train_step_impl(
-                st, (x_tr[idx], len_tr[idx], y_tr[idx]), sk, masked, rate_arg
+                st, (x_tr[idx], len_tr[idx], y_tr[idx]), sk, masked,
+                rate_arg, remat,
             )
             return (st, key), loss
 
@@ -878,8 +901,8 @@ def _fold_statics(cfg: "TrainConfig", n_tr: int, n_va: int) -> tuple:
     return (
         cfg.use_length_masking, cfg.dropout_rate is not None, cfg.epochs,
         cfg.patience, cfg.batch_size, cfg.use_plateau, cfg.restore_best,
-        float(cfg.plateau_factor), int(cfg.plateau_patience), s_full, r,
-        sv_full, rv,
+        bool(cfg.remat), float(cfg.plateau_factor), int(cfg.plateau_patience),
+        s_full, r, sv_full, rv,
     )
 
 
@@ -1207,6 +1230,7 @@ def train_model(
                 step_rng,
                 cfg.use_length_masking,
                 rate_arg,
+                cfg.remat,
             )
             # keep losses on device: one fetch per EPOCH, not per batch —
             # per-step float() syncs dominate wall time on the tunneled chip

@@ -190,3 +190,37 @@ def test_device_fold_mixed_lengths_contract():
     state, th, vh = train_model(trainer, xs[:12], ys[:12], xs[12:], ys[12:], cfg)
     assert 2 <= len(th) == len(vh) <= 40
     assert np.isfinite(th).all() and np.isfinite(vh).all()
+
+
+def test_remat_matches_plain_training():
+    """TrainConfig.remat (jax.checkpoint backward) is numerically identical
+    to plain training — it only trades activation memory for recompute."""
+    import pandas as pd
+
+    from robust_speech_analysis_framework_tpu.eval.dl_cv import (
+        run_dl_standard_kfold_cv,
+    )
+
+    rng = np.random.default_rng(5)
+    seqs = {
+        f"{i:02d}_{'P' if i % 2 else 'C'}":
+            rng.normal(size=(int(rng.integers(16, 40)), 8)).astype(np.float32)
+        for i in range(20)
+    }
+    meta = pd.DataFrame([
+        {"unique_participant_id": k,
+         "label": "Patient" if k.endswith("P") else "Control"}
+        for k in seqs
+    ])
+    hp = {"learning_rate": 1e-3, "dropout_rate": 0.3,
+          "cnn_out_channels": 4, "lstm_hidden_dim": 4,
+          "activation_fn": "silu"}
+    kw = dict(n_splits=2, epochs=2, patience=3, batch_size=4)
+    df_p, _, hist_p, w_p = run_dl_standard_kfold_cv(seqs, meta, hp, **kw)
+    df_r, _, hist_r, w_r = run_dl_standard_kfold_cv(
+        seqs, meta, hp, remat=True, **kw
+    )
+    pd.testing.assert_frame_equal(df_p, df_r)
+    np.testing.assert_allclose(w_p, w_r, atol=1e-6)
+    for a, b in zip(hist_p, hist_r):
+        np.testing.assert_allclose(a["train"], b["train"], atol=1e-5)
