@@ -13,8 +13,10 @@ harness runs the nb03 nested experiment at its TRUE shape
 on a synthetic combined-session corpus of n=111 participants (57/54 class
 balance) whose sequence lengths follow the real distribution's shape: one
 ~88 s reading file = 4,378 frames plus an interview-session share, capped
-at ``--max-frames`` (default 16,256 ≈ 5.4 min of audio) so the resident
-(111, T_pad, 768) f32 corpus fits one chip's HBM. Real combined sessions
+at ``--max-frames`` (default 12,288 ≈ 4.1 min of audio) so the resident
+(111, T_pad, 768) f32 corpus AND the 8 rematerialized trial lanes' batch
+working set fit one chip's HBM together (measured: 16,256 frames needed
+22.6 GB even with remat vs the chip's 15.75 GB). Real combined sessions
 reach ~1e5 frames (SURVEY §6.4); the cap is logged with the result — it
 shrinks BOTH sides of the comparison equally (per-step cost is linear in T
 on CPU and on the chip's sequential recurrence).
@@ -231,7 +233,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the torch-CPU side instead of the TPU side")
-    ap.add_argument("--max-frames", type=int, default=16256)
+    ap.add_argument("--max-frames", type=int, default=12288)
     ap.add_argument("--dry", action="store_true",
                     help="tiny smoke run (shape checks only)")
     args = ap.parse_args()
