@@ -89,6 +89,10 @@ def measure_tpu(max_frames: int) -> dict:
     # past the conservative HBM/4 budget but comfortably resident on a
     # 16 GB chip next to the small batch-4/8 fold working set
     os.environ.setdefault("RSAF_CORPUS_BUDGET_BYTES", str(12 << 30))
+    # bf16 resident storage: the f32 corpus (4.2 GB) plus 8 remat lanes
+    # measured 976 MB over HBM; bf16 halves the buffer (embeddings
+    # quantized at ~3e-3 — a throughput benchmark, recorded in the note)
+    os.environ.setdefault("RSAF_CORPUS_DTYPE", "bfloat16")
     import jax
     import jax.numpy as jnp
 
@@ -126,7 +130,8 @@ def measure_tpu(max_frames: int) -> dict:
             f"session lengths capped at {max_frames} frames "
             f"(~{max_frames / 49.9 / 60:.1f} min audio); real combined "
             "sessions reach ~1e5 frames — the cap shrinks both comparison "
-            "sides linearly"
+            "sides linearly; corpus stored bf16 on device (~3e-3 input "
+            "quantization; CPU side trains on the same data in f32)"
         ),
         "mean_f1": float(df["f1_score"].mean()),
         "tpu_first_pass_spans": {

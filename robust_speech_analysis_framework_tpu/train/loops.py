@@ -358,7 +358,7 @@ class Trainer:
             def build():
                 return jax.jit(
                     lambda st, x, ln, idx: self._eval_step_impl(
-                        st, x[idx], ln[idx], masked
+                        st, x[idx].astype(jnp.float32), ln[idx], masked
                     )
                 )
 
@@ -388,7 +388,7 @@ class Trainer:
 
         if gather:
             f = lambda st, x, ln, idx: self._eval_step_impl(  # noqa: E731
-                st, x[idx], ln[idx], masked
+                st, x[idx].astype(jnp.float32), ln[idx], masked
             )
             axes = (0, None, None, None)
         else:
@@ -573,13 +573,24 @@ class DeviceCorpus:
     """
 
     def __init__(
-        self, sequences: Sequence[np.ndarray], align: int = 128, sharding=None
+        self, sequences: Sequence[np.ndarray], align: int = 128,
+        sharding=None, dtype=None,
     ):
+        """``dtype`` sets the RESIDENT storage dtype (default f32, or the
+        ``RSAF_CORPUS_DTYPE`` env var). ``bfloat16`` halves the HBM
+        footprint — the capacity lever for reference-scale session corpora
+        (111 × ~12k frames × 768 is 4.2 GB in f32) — at a ~3e-3 relative
+        quantization of the stored embeddings; consumers gather rows and
+        cast back to f32 on device."""
+        import os
+
+        if dtype is None:
+            dtype = os.environ.get("RSAF_CORPUS_DTYPE") or np.float32
         self.seqs = [np.asarray(s, dtype=np.float32) for s in sequences]
         lens = [len(s) for s in self.seqs]
         t_pad = max(align, -(-max(lens) // align) * align)
         d = self.seqs[0].shape[1]
-        buf = np.zeros((len(self.seqs), t_pad, d), np.float32)
+        buf = np.zeros((len(self.seqs), t_pad, d), jnp.dtype(dtype))
         for i, s in enumerate(self.seqs):
             buf[i, : len(s)] = s
         from ..utils.profiling import span
@@ -653,12 +664,13 @@ class ResidentCorpus:
 
     is_resident_sequences = True  # duck-type marker for the CV engines
 
-    def __init__(self, sequences_dict, align: int = 128, sharding=None):
+    def __init__(self, sequences_dict, align: int = 128, sharding=None,
+                 dtype=None):
         self.names = list(sequences_dict.keys())
         self._index = {n: i for i, n in enumerate(self.names)}
         self._corpus = DeviceCorpus(
             [sequences_dict[n] for n in self.names], align=align,
-            sharding=sharding,
+            sharding=sharding, dtype=dtype,
         )
 
     def device_corpus(self) -> DeviceCorpus:
@@ -779,9 +791,11 @@ def _device_fold_fn(trainer: Trainer, statics: tuple):
         def tstep(carry, idx):
             st, key = carry
             key, sk = jax.random.split(key)
+            # astype: resident corpora may store bf16 (capacity lever);
+            # compute stays f32 (identity for f32 buffers)
             st, loss = trainer._train_step_impl(
-                st, (x_tr[idx], len_tr[idx], y_tr[idx]), sk, masked,
-                rate_arg, remat,
+                st, (x_tr[idx].astype(jnp.float32), len_tr[idx], y_tr[idx]),
+                sk, masked, rate_arg, remat,
             )
             return (st, key), loss
 
@@ -790,7 +804,9 @@ def _device_fold_fn(trainer: Trainer, statics: tuple):
             # reference's val_loss / len(val_loader) (:141), as in
             # _mean_val_loss
             def one(idx):
-                logits = trainer._eval_step_impl(st, x_va[idx], len_va[idx], masked)
+                logits = trainer._eval_step_impl(
+                    st, x_va[idx].astype(jnp.float32), len_va[idx], masked
+                )
                 return sce(logits, y_va[idx]).mean()
 
             losses = []
@@ -990,7 +1006,9 @@ def _train_model_device(
     # so the cache key carries the operand shapes: a SeqView fold (gathers
     # from the whole corpus buffer) and a host-list fold of the same sizes
     # are different programs
-    mem_key = (statics, tuple(tuple(jnp.shape(o)) for o in operands),
+    mem_key = (statics,
+               tuple((tuple(jnp.shape(o)), str(getattr(o, "dtype", "")))
+                     for o in operands),
                _operand_devices(operands))
     fn = trainer._fold_cache.get(mem_key)
     if fn is None:
@@ -1116,7 +1134,8 @@ def train_trials_device(
     if not statics[1]:  # has_rate must hold: rates are a lane-mapped operand
         raise ValueError("train_trials_device requires cfg.dropout_rate set")
     key = ("trials", k, statics,
-           tuple(tuple(jnp.shape(o)) for o in operands),
+           tuple((tuple(jnp.shape(o)), str(getattr(o, "dtype", "")))
+                 for o in operands),
            _operand_devices(operands))
     fn = trainer._fold_cache.get(key)
     if fn is None:
