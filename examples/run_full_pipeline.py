@@ -50,7 +50,9 @@ def make_corpus(root: str, n_per_class: int = 10) -> str:
             sess = os.path.join(clips, pid)
             os.makedirs(sess, exist_ok=True)
             for c in range(2):
-                write_wav(os.path.join(sess, f"clip_{c:03d}.wav"),
+                # basenames must be unique across sessions (the corpus
+                # keys features by basename, as the real Androids clips are)
+                write_wav(os.path.join(sess, f"{pid}_clip_{c:03d}.wav"),
                           speech(f0 + 5 * c, 200 + i * 2 + c, 1.0), SR)
     with open(os.path.join(root, "fold-lists.csv"), "w") as fh:
         fh.write("banner,,\nfold1,fold1.1\n,\n")
